@@ -1,0 +1,181 @@
+"""Planner and scenario configuration.
+
+Realizes the intent of the reference's (empty) ``systems/car.yaml`` and the
+hardcoded constants in ``demos/main.cu:19-28`` / ``src/planners/KGMT.cu:5-8``:
+one declarative config object covering workspace, grid resolution, capacity,
+iteration budget, integration resolution, control bounds, goal threshold and
+seed — loadable from YAML/JSON and from the reference's ``configurations/``
+CSV scenario layout (see cudasbmp_tpu.io.csv).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+import numpy as np
+
+SAMPLE_DIM = 7  # x, y, theta, v, accel, steering, duration   (KGMT.cu:5)
+STATE_DIM = 4  # x, y, theta, v                               (KGMT.cu:6)
+WORKSPACE_DIM = 2  # planar workspace                          (statePropagator.cu:3)
+
+
+@dataclasses.dataclass(frozen=True)
+class KGMTConfig:
+    """Static (compile-time) configuration of the KGMT planner.
+
+    Defaults reproduce the reference demo scenario (demos/main.cu:19-28).
+    """
+
+    # Workspace (demos/main.cu:19-20)
+    width: float = 20.0
+    height: float = 20.0
+    # Two-level region grid: N x N coarse R1 cells, each split n x n into R2
+    # subcells (KGMT.cu:13-14; demos/main.cu:21-22).
+    N: int = 16
+    n: int = 8
+    # Iteration budget and tree capacity (demos/main.cu:23-24).
+    num_iterations: int = 100
+    max_tree_size: int = 30000
+    # Rollout integration steps per edge (demos/main.cu:25).
+    num_disc: int = 10
+    # Agent wheelbase for the kinematic bicycle (demos/main.cu:26).
+    agent_length: float = 1.0
+    # Goal-region radius in (x, y) (demos/main.cu:27).
+    goal_threshold: float = 0.5
+    # Fan-out: rollouts per frontier node in the normal regime (KGMT.cu:152).
+    fanout: int = 32
+    # Fixed rollout batch per iteration (TPU-native: static shapes). The
+    # reference's two launch regimes (32/node vs fill-remaining-capacity,
+    # KGMT.cu:151-219) collapse into one dense batch of this size with
+    # round-robin parent assignment; slots beyond
+    # min(fanout*frontier, capacity_left) are masked out.
+    rollouts_per_iter: int = 4096
+    # Score-formula epsilon (KGMT.cu:131 passes 0.01).
+    epsilon: float = 0.01
+    # Dynamical system name from cudasbmp_tpu.systems.registry.
+    system: str = "bicycle"
+    # PRNG seed (the reference uses time(NULL), KGMT.cu:111 — we are
+    # deterministic by construction).
+    seed: int = 0
+    # If the expansion wave accepts zero children the reference's frontier
+    # empties permanently and the planner spins (SURVEY.md §2.4 discussion).
+    # True (default) retries the same frontier instead.
+    keep_frontier_on_stall: bool = True
+    # Check the device-side done flag on the host every k iterations; the body
+    # always runs fully on device (lax.while_loop), this only bounds trace size.
+    # Kept for API parity with tracing tools; not usually needed.
+    max_obstacles: int = 32
+
+    @property
+    def r1_size(self) -> float:
+        """Coarse cell edge length (KGMT.cu:13)."""
+        return self.width / self.N
+
+    @property
+    def r2_size(self) -> float:
+        """Sub-cell edge length (KGMT.cu:14)."""
+        return self.width / (self.n * self.N)
+
+    @property
+    def num_r1(self) -> int:
+        return self.N * self.N
+
+    @property
+    def num_r2(self) -> int:
+        return self.N * self.N * self.n * self.n
+
+    def replace(self, **kw: Any) -> "KGMTConfig":
+        return dataclasses.replace(self, **kw)
+
+    # ---- serialization -------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "KGMTConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+    @classmethod
+    def from_file(cls, path: str) -> "KGMTConfig":
+        """Load from YAML (if pyyaml is available) or JSON."""
+        text = open(path).read()
+        if path.endswith((".yaml", ".yml")):
+            import yaml  # baked into the image via transformers deps
+
+            data = yaml.safe_load(text) or {}
+        else:
+            data = json.loads(text)
+        return cls.from_dict(data)
+
+    def to_file(self, path: str) -> None:
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+
+            open(path, "w").write(yaml.safe_dump(self.to_dict()))
+        else:
+            open(path, "w").write(json.dumps(self.to_dict(), indent=2))
+
+
+@dataclasses.dataclass
+class Scenario:
+    """A planning problem: start/goal samples + axis-aligned box obstacles.
+
+    Mirrors the reference's ``configurations/`` CSV layout (init/goal 7-float
+    samples, obstacles as ``xmin,ymin,xmax,ymax`` rows — helper.cu:11-34) and
+    the demo's hardcoded scenario (demos/main.cu:33-61).
+    """
+
+    init: np.ndarray  # [SAMPLE_DIM]
+    goal: np.ndarray  # [SAMPLE_DIM]
+    obstacles: np.ndarray  # [num_obstacles, 4] xmin,ymin,xmax,ymax
+
+    def __post_init__(self) -> None:
+        self.init = np.asarray(self.init, dtype=np.float32).reshape(-1)[:SAMPLE_DIM]
+        self.goal = np.asarray(self.goal, dtype=np.float32).reshape(-1)[:SAMPLE_DIM]
+        self.init = np.pad(self.init, (0, SAMPLE_DIM - self.init.shape[0]))
+        self.goal = np.pad(self.goal, (0, SAMPLE_DIM - self.goal.shape[0]))
+        self.obstacles = np.asarray(self.obstacles, dtype=np.float32).reshape(-1, 4)
+
+    @classmethod
+    def demo(cls) -> "Scenario":
+        """The reference demo's hardcoded workload (demos/main.cu:33-46):
+        start (5,5), goal (2,18) in a 20x20 workspace with obstacles.csv."""
+        init = np.zeros(SAMPLE_DIM, np.float32)
+        init[0], init[1] = 5.0, 5.0
+        goal = np.zeros(SAMPLE_DIM, np.float32)
+        goal[0], goal[1] = 2.0, 18.0
+        return cls(init=init, goal=goal, obstacles=default_obstacles())
+
+    def padded_obstacles(self, max_obstacles: int) -> tuple[np.ndarray, np.ndarray]:
+        """Pad the obstacle set to a static shape; returns (boxes, valid_mask).
+
+        Padding boxes are degenerate (max < min) so they can never overlap
+        anything, which lets the collision kernel skip masking entirely.
+        """
+        k = self.obstacles.shape[0]
+        if k > max_obstacles:
+            raise ValueError(f"{k} obstacles > max_obstacles={max_obstacles}")
+        pad = np.zeros((max_obstacles - k, 4), np.float32)
+        pad[:, 0:2] = 1.0  # min = 1, max = 0 -> empty box
+        boxes = np.concatenate([self.obstacles, pad], axis=0)
+        mask = np.zeros(max_obstacles, bool)
+        mask[:k] = True
+        return boxes, mask
+
+
+def default_obstacles() -> np.ndarray:
+    """The 5 AABBs of configurations/obstacles/obstacles.csv, inlined so the
+    demo scenario works without the reference checkout present."""
+    return np.array(
+        [
+            [2.0, 2.0, 4.0, 4.0],
+            [7.0, 2.0, 9.0, 5.0],
+            [3.0, 18.0, 6.0, 20.0],
+            [2.0, 10.0, 4.0, 12.0],
+            [0.0, 6.0, 18.0, 8.0],
+        ],
+        dtype=np.float32,
+    )

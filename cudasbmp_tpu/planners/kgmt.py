@@ -1,0 +1,423 @@
+"""KGMT — frontier-parallel kinodynamic tree search with adaptive two-level
+region guidance. The flagship planner, re-designed TPU-first.
+
+Behavioral spec source: ``src/planners/KGMT.cu`` (see SURVEY.md §2.2). The
+reference drives a host loop that every iteration launches a score-update
+kernel, two thrust scans with device->host size reads, a fan-out expansion
+kernel with atomics, and a commit kernel, then syncs a termination flag
+(KGMT.cu:118-292 — 3 host syncs/iteration). Here the entire iteration is one
+pure function ``KGMTState -> KGMTState`` of fixed shapes, and the whole solve
+is a single ``lax.while_loop`` under one ``jax.jit``: zero host round-trips
+until the final result fetch.
+
+Mapping (reference mechanism -> this file):
+- mask -> scan -> compact frontier (KGMT.cu:139-147)   -> ops.compaction
+- propagateG / propagateGV2 two launch regimes
+  (KGMT.cu:151-219, 341-482)                           -> one dense rollout
+  batch of ``rollouts_per_iter`` slots, round-robin parent assignment,
+  slots beyond min(fanout*frontier, capacity) masked
+- atomicAdd/atomicExch region stats (KGMT.cu:392-410)  -> ops.segments
+- curand per-slot states seeded time(NULL)
+  (KGMT.cu:109-111)                                    -> fold_in(key, itr)
+- updateR1 score kernel (KGMT.cu:487-538)              -> vectorized formula
+- updateG commit + goal check (KGMT.cu:540-593)        -> masked scatter with
+  *correct* capacity clamping (the reference can overflow, SURVEY.md §2.4.4)
+- d_costToGoal never zeroed / != 0 test (§2.4.1)       -> explicit +inf sentinel
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cudasbmp_tpu.config import KGMTConfig, SAMPLE_DIM, Scenario
+from cudasbmp_tpu.geometry.grid import RegionGrid
+from cudasbmp_tpu.ops.compaction import compact_indices
+from cudasbmp_tpu.ops.rollout import rollout_batch
+from cudasbmp_tpu.ops.segments import masked_bincount, scatter_or
+from cudasbmp_tpu.planners.base import Planner
+from cudasbmp_tpu.systems.registry import get_system
+
+Array = jax.Array
+
+
+class KGMTState(NamedTuple):
+    """Complete device-resident planner state — the analog of the ~25 device
+    vectors the reference allocates in its ctor (KGMT.cu:16-77), organized as
+    a pytree so snapshot/restore (checkpointing) and vmap (multi-query) are
+    free."""
+
+    # Tree (KGMT.cu:25-26, 40, 70)
+    tree_samples: Array  # f32 [M, SAMPLE_DIM]
+    tree_parent: Array  # i32 [M], -1 = unset
+    costs: Array  # f32 [M], trajectory time from root
+    frontier: Array  # bool [M]  (d_G_)
+    tree_size: Array  # i32 scalar
+    # Region statistics (KGMT.cu:30-38)
+    r1_total: Array  # i32 [N*N]
+    r1_valid: Array
+    r1_invalid: Array
+    r1_avail: Array
+    r1_score: Array  # f32 [N*N], init 1.0 (KGMT.cu:72)
+    r2_total: Array  # i32 [N*N*n*n]
+    r2_valid: Array
+    r2_invalid: Array
+    r2_avail: Array
+    r1_threshold: Array  # f32 scalar — computed-but-unused knob kept for
+    # observability parity (KGMT.cu:526; never read by the kernels, §2.4.2)
+    # Solution
+    cost_to_goal: Array  # f32 scalar, +inf until solved (explicit, §2.4.1)
+    goal_node: Array  # i32 scalar, -1 until solved
+    # Control
+    itr: Array  # i32 scalar
+    key: Array  # PRNG key
+    stalled: Array  # bool scalar: expansion wave accepted zero children
+    # Per-iteration observability (SURVEY.md §5 metrics plan)
+    m_frontier_size: Array  # i32 [num_iterations]
+    m_valid: Array  # i32 [num_iterations]
+    m_accepted: Array  # i32 [num_iterations]
+    m_tree_size: Array  # i32 [num_iterations]
+
+
+@dataclasses.dataclass
+class KGMTResult:
+    solved: bool
+    cost: float
+    iterations: int
+    tree_size: int
+    wall_time_s: float
+    path: np.ndarray  # [L, SAMPLE_DIM] root -> goal node samples
+    path_nodes: np.ndarray  # [L] tree indices
+    state: KGMTState  # final device state (for dumps/analysis)
+    metrics: dict
+
+
+# ---------------------------------------------------------------------------
+# Pure planner kernels (everything below is jit-traced)
+# ---------------------------------------------------------------------------
+
+
+def init_state(cfg: KGMTConfig, grid: RegionGrid, init: Array, key: Array) -> KGMTState:
+    """Seed the tree with the root sample and mark its regions, exactly as
+    KGMT::plan's prologue does (KGMT.cu:85-97)."""
+    M = cfg.max_tree_size
+    tree_samples = jnp.zeros((M, SAMPLE_DIM), jnp.float32).at[0].set(init)
+    r1_0, r2_0 = grid.region_indices(init[0:2][None, :])
+    r1_0, r2_0 = r1_0[0], r2_0[0]
+    nr1, nr2 = cfg.num_r1, cfg.num_r2
+    one = jnp.ones((), jnp.int32)
+    zeros_r1 = jnp.zeros(nr1, jnp.int32)
+    zeros_r2 = jnp.zeros(nr2, jnp.int32)
+    # Metrics arrays must be non-empty even for a zero-iteration budget: the
+    # while_loop body is traced regardless of whether it ever runs.
+    it = max(cfg.num_iterations, 1)
+    return KGMTState(
+        tree_samples=tree_samples,
+        tree_parent=jnp.full(M, -1, jnp.int32),
+        costs=jnp.zeros(M, jnp.float32),
+        frontier=jnp.zeros(M, bool).at[0].set(True),
+        tree_size=jnp.ones((), jnp.int32),
+        r1_total=zeros_r1.at[r1_0].set(one),
+        r1_valid=zeros_r1.at[r1_0].set(one),
+        r1_invalid=zeros_r1,
+        r1_avail=zeros_r1.at[r1_0].set(one),
+        r1_score=jnp.ones(nr1, jnp.float32),
+        r2_total=zeros_r2,
+        r2_valid=zeros_r2,
+        r2_invalid=zeros_r2,
+        r2_avail=zeros_r2.at[r2_0].set(one),
+        r1_threshold=jnp.zeros((), jnp.float32),
+        cost_to_goal=jnp.array(jnp.inf, jnp.float32),
+        goal_node=jnp.full((), -1, jnp.int32),
+        itr=jnp.zeros((), jnp.int32),
+        key=key,
+        stalled=jnp.zeros((), bool),
+        m_frontier_size=jnp.zeros(it, jnp.int32),
+        m_valid=jnp.zeros(it, jnp.int32),
+        m_accepted=jnp.zeros(it, jnp.int32),
+        m_tree_size=jnp.zeros(it, jnp.int32),
+    )
+
+
+def update_region_scores(
+    cfg: KGMTConfig, s: KGMTState
+) -> tuple[Array, Array]:
+    """Phase (a): exploration-guidance scores per R1 cell (updateR1,
+    KGMT.cu:487-538).
+
+    score = freeVol^4 / ((1+covR) * (1+count^2)) for explored (avail) cells,
+    with freeVol = (eps+valid)/(eps+valid+invalid) and covR the fraction of
+    the cell's R2 subcells already reached. Normalized by the total; cells
+    never touched score 1.0 so virgin regions always accept.
+    """
+    n2 = cfg.n * cfg.n
+    avail = s.r1_avail != 0
+    cov_r = s.r2_avail.reshape(cfg.num_r1, n2).sum(axis=1).astype(jnp.float32) / n2
+    valid_f = s.r1_valid.astype(jnp.float32)
+    invalid_f = s.r1_invalid.astype(jnp.float32)
+    free_vol = (cfg.epsilon + valid_f) / (cfg.epsilon + valid_f + invalid_f)
+    count_f = s.r1_total.astype(jnp.float32)
+    score = free_vol**4 / ((1.0 + cov_r) * (1.0 + count_f**2))
+    score = jnp.where(avail, score, 0.0)
+    total = score.sum()
+    active = jnp.maximum(avail.sum(), 1)
+    # Computed-but-unused in the reference's kernels (§2.4.2); we keep it as an
+    # observability signal (mean score over active cells).
+    r1_threshold = total / active.astype(jnp.float32)
+    r1_score = jnp.where(
+        avail, jnp.where(total > 0, score / total, 1.0), 1.0
+    )
+    return r1_score, r1_threshold
+
+
+def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
+                   goal: Array, s: KGMTState) -> KGMTState:
+    """One full planner iteration: phases (a) score, (b) compact, (c) expand,
+    (d) commit, (e) goal/termination bookkeeping — the body of the reference's
+    host loop (KGMT.cu:118-292) as one fused device program."""
+    M = cfg.max_tree_size
+    R = cfg.rollouts_per_iter
+
+    with jax.named_scope("kgmt_scores"):
+        r1_score, r1_threshold = update_region_scores(cfg, s)
+
+    with jax.named_scope("kgmt_frontier"):
+        frontier_idx, frontier_size = compact_indices(s.frontier)
+
+    # --- expansion wave -------------------------------------------------
+    with jax.named_scope("kgmt_expand"):
+        capacity_left = M - s.tree_size
+        # The reference's two regimes — fan-out 32 per node (KGMT.cu:151-158)
+        # or fill-remaining-capacity (propagateGV2) — collapse into one dense
+        # batch: n_eff live slots, parents assigned round-robin.
+        n_eff = jnp.minimum(
+            jnp.minimum(cfg.fanout * frontier_size, capacity_left), R
+        )
+        slot = jnp.arange(R, dtype=jnp.int32)
+        slot_active = slot < n_eff
+        parent_pos = slot % jnp.maximum(frontier_size, 1)
+        parent_idx = frontier_idx[parent_pos]  # [R]
+        x0 = s.tree_samples[parent_idx, : system.state_dim]
+
+        key_iter = jax.random.fold_in(s.key, s.itr)
+        k_ctrl, k_accept = jax.random.split(key_iter)
+        controls = system.control_spec.sample(k_ctrl, (R,))
+        x1, valid = rollout_batch(
+            system, x0, controls, cfg.num_disc, obstacles, cfg.width, cfg.height
+        )
+        valid = valid & slot_active
+        samples1 = jnp.concatenate([x1, controls], axis=-1)  # [R, SAMPLE_DIM]
+
+    # --- region statistics (atomics -> segment sums) ---------------------
+    with jax.named_scope("kgmt_region_stats"):
+        r1, r2 = grid.region_indices(x1[:, 0:2])
+        invalid = slot_active & ~valid
+        r1_total = s.r1_total + masked_bincount(r1, slot_active, cfg.num_r1)
+        r2_total = s.r2_total + masked_bincount(r2, slot_active, cfg.num_r2)
+        r1_valid_c = s.r1_valid + masked_bincount(r1, valid, cfg.num_r1)
+        r2_valid_c = s.r2_valid + masked_bincount(r2, valid, cfg.num_r2)
+        r1_invalid_c = s.r1_invalid + masked_bincount(r1, invalid, cfg.num_r1)
+        r2_invalid_c = s.r2_invalid + masked_bincount(r2, invalid, cfg.num_r2)
+
+    # --- acceptance (KGMT.cu:394-400): Bernoulli(score of child's R1 cell)
+    #     OR the child's R2 subcell was never reached before this wave -------
+    with jax.named_scope("kgmt_accept"):
+        u = jax.random.uniform(k_accept, (R,))
+        r1_safe = jnp.maximum(r1, 0)
+        r2_safe = jnp.maximum(r2, 0)
+        virgin_r2 = s.r2_avail[r2_safe] == 0  # pre-wave snapshot (deterministic
+        # stand-in for the reference's racy read of concurrently-updated flags)
+        accept = valid & ((u <= r1_score[r1_safe]) | virgin_r2)
+        # Availability flags flip for every *valid* child (KGMT.cu:401-406).
+        r1_avail = scatter_or(s.r1_avail, r1, valid)
+        r2_avail = scatter_or(s.r2_avail, r2, valid)
+
+    # --- commit (updateG, KGMT.cu:540-593) with correct capacity clamp ----
+    with jax.named_scope("kgmt_commit"):
+        accept_i = accept.astype(jnp.int32)
+        accept_pos = jnp.cumsum(accept_i) - accept_i
+        child_slot = s.tree_size + accept_pos
+        within = accept & (child_slot < M)
+        n_accepted = jnp.minimum(accept_i.sum(), capacity_left)
+        dst = jnp.where(within, child_slot, M)  # OOB -> dropped
+        tree_samples = s.tree_samples.at[dst].set(samples1, mode="drop")
+        tree_parent = s.tree_parent.at[dst].set(parent_idx, mode="drop")
+        # cost = parent cost + edge duration (getCost returns x1[6],
+        # KGMT.cu:631-633: the metric is pure trajectory time).
+        child_cost = s.costs[parent_idx] + controls[:, -1]
+        costs = s.costs.at[dst].set(child_cost, mode="drop")
+        new_frontier = jnp.zeros(M, bool).at[dst].set(within, mode="drop")
+        stalled = n_accepted == 0
+        if cfg.keep_frontier_on_stall:
+            # The reference's frontier empties permanently if a wave accepts
+            # nothing (parents cleared at KGMT.cu:378, no children set) and the
+            # planner spins uselessly; retrying the same frontier with fresh
+            # randomness is strictly better and is our default.
+            new_frontier = jnp.where(stalled, s.frontier, new_frontier)
+        tree_size = s.tree_size + n_accepted
+
+    # --- goal check (inGoalRegion, KGMT.cu:635-638) -----------------------
+    with jax.named_scope("kgmt_goal"):
+        d2 = (x1[:, 0] - goal[0]) ** 2 + (x1[:, 1] - goal[1]) ** 2
+        in_goal = within & (d2 < cfg.goal_threshold**2)
+        goal_costs = jnp.where(in_goal, child_cost, jnp.inf)
+        best = jnp.argmin(goal_costs)
+        best_cost = goal_costs[best]
+        improved = best_cost < s.cost_to_goal
+        cost_to_goal = jnp.where(improved, best_cost, s.cost_to_goal)
+        goal_node = jnp.where(improved, child_slot[best], s.goal_node)
+
+    # --- metrics ----------------------------------------------------------
+    it = s.itr
+    return s._replace(
+        tree_samples=tree_samples,
+        tree_parent=tree_parent,
+        costs=costs,
+        frontier=new_frontier,
+        tree_size=tree_size,
+        r1_total=r1_total,
+        r1_valid=r1_valid_c,
+        r1_invalid=r1_invalid_c,
+        r1_avail=r1_avail,
+        r1_score=r1_score,
+        r2_total=r2_total,
+        r2_valid=r2_valid_c,
+        r2_invalid=r2_invalid_c,
+        r2_avail=r2_avail,
+        r1_threshold=r1_threshold,
+        cost_to_goal=cost_to_goal,
+        goal_node=goal_node,
+        itr=s.itr + 1,
+        stalled=stalled,
+        m_frontier_size=s.m_frontier_size.at[it].set(frontier_size),
+        m_valid=s.m_valid.at[it].set(valid.sum()),
+        m_accepted=s.m_accepted.at[it].set(n_accepted),
+        m_tree_size=s.m_tree_size.at[it].set(tree_size),
+    )
+
+
+def kgmt_solve(cfg: KGMTConfig, system, grid: RegionGrid, init: Array,
+               goal: Array, obstacles: Array, key: Array) -> KGMTState:
+    """Full solve: seed, then while_loop iterations until first solution,
+    tree full, stall (when retry is off), or iteration budget — the
+    reference's host loop + termination tests (KGMT.cu:118-259) with the
+    done-flag kept on device (no per-iteration host syncs)."""
+    s0 = init_state(cfg, grid, init, key)
+
+    def cond(s: KGMTState) -> Array:
+        solved = jnp.isfinite(s.cost_to_goal)
+        full = s.tree_size >= cfg.max_tree_size
+        dead = jnp.zeros((), bool) if cfg.keep_frontier_on_stall else s.stalled
+        return (s.itr < cfg.num_iterations) & ~solved & ~full & ~dead
+
+    body = partial(kgmt_iteration, cfg, system, grid, obstacles, goal)
+    return jax.lax.while_loop(cond, body, s0)
+
+
+def extract_path(cfg: KGMTConfig, s: KGMTState) -> tuple[Array, Array, Array]:
+    """Walk parent pointers from the goal node to the root, on device.
+
+    The tree depth grows by at most 1 per iteration (the frontier is exactly
+    the nodes committed by the previous wave, KGMT.cu:586), so
+    num_iterations + 1 bounds the path length. Returns (nodes, samples, length)
+    with fixed shapes; entries beyond ``length`` are -1 / zeros, and the walk
+    yields goal -> root order reversed to root -> goal.
+    """
+    L = cfg.num_iterations + 1
+
+    def step(node, _):
+        nxt = jnp.where(node >= 0, s.tree_parent[jnp.maximum(node, 0)], -1)
+        return nxt, node
+
+    _, rev_nodes = jax.lax.scan(step, s.goal_node, None, length=L)
+    # rev_nodes is goal, parent, ..., root, -1, -1...; reverse and left-pack.
+    length = (rev_nodes >= 0).sum()
+    idx = jnp.arange(L)
+    src = length - 1 - idx  # position in rev_nodes for output slot idx
+    nodes = jnp.where(idx < length, rev_nodes[jnp.maximum(src, 0)], -1)
+    samples = jnp.where(
+        (nodes >= 0)[:, None], s.tree_samples[jnp.maximum(nodes, 0)], 0.0
+    )
+    return nodes, samples, length
+
+
+# ---------------------------------------------------------------------------
+# Host-facing planner
+# ---------------------------------------------------------------------------
+
+
+class KGMT(Planner):
+    """Host-facing flagship planner. Owns the compiled solve for one static
+    config; ``plan`` runs it end-to-end with a single device->host fetch."""
+
+    def __init__(self, config: KGMTConfig | None = None, system=None):
+        self.config = config or KGMTConfig()
+        self.system = system or get_system(
+            self.config.system,
+            **({"agent_length": self.config.agent_length}
+               if self.config.system in ("bicycle", "car") else {}),
+        )
+        self.grid = RegionGrid(
+            width=self.config.width, height=self.config.height,
+            N=self.config.N, n=self.config.n,
+        )
+        cfg, sys_, grid = self.config, self.system, self.grid
+
+        @jax.jit
+        def _solve(init, goal, obstacles, key):
+            final = kgmt_solve(cfg, sys_, grid, init, goal, obstacles, key)
+            nodes, samples, length = extract_path(cfg, final)
+            return final, nodes, samples, length
+
+        self._solve = _solve
+
+    # -- Planner interface -------------------------------------------------
+    def plan(self, scenario: Scenario, seed: int | None = None) -> KGMTResult:
+        cfg = self.config
+        obstacles, _ = scenario.padded_obstacles(cfg.max_obstacles)
+        key = jax.random.key(cfg.seed if seed is None else seed)
+        t0 = time.perf_counter()
+        final, nodes, samples, length = self._solve(
+            jnp.asarray(scenario.init), jnp.asarray(scenario.goal),
+            jnp.asarray(obstacles), key,
+        )
+        final = jax.block_until_ready(final)
+        wall = time.perf_counter() - t0
+
+        cost = float(final.cost_to_goal)
+        solved = np.isfinite(cost)
+        length_i = int(length)
+        it = int(final.itr)
+        metrics = {
+            "frontier_size": np.asarray(final.m_frontier_size)[:it],
+            "valid": np.asarray(final.m_valid)[:it],
+            "accepted": np.asarray(final.m_accepted)[:it],
+            "tree_size": np.asarray(final.m_tree_size)[:it],
+            "r1_threshold": float(final.r1_threshold),
+        }
+        return KGMTResult(
+            solved=bool(solved),
+            cost=cost if solved else float("inf"),
+            iterations=it,
+            tree_size=int(final.tree_size),
+            wall_time_s=wall,
+            path=np.asarray(samples)[:length_i],
+            path_nodes=np.asarray(nodes)[:length_i],
+            state=final,
+            metrics=metrics,
+        )
+
+    def generate_random_tree(self, scenario: Scenario, num_rollouts: int):
+        """Unguided random-tree probe (Planner.cuh:10) — delegates to the
+        NaivePlanner equivalent for interface completeness."""
+        from cudasbmp_tpu.planners.naive import NaivePlanner
+
+        return NaivePlanner(self.config, self.system).generate_random_tree(
+            scenario, num_rollouts
+        )

@@ -1,0 +1,16 @@
+from cudasbmp_tpu.systems.base import System, ControlSpec
+from cudasbmp_tpu.systems.bicycle import KinematicBicycle
+from cudasbmp_tpu.systems.point2d import Point2D
+from cudasbmp_tpu.systems.double_integrator import DoubleIntegrator2D
+from cudasbmp_tpu.systems.registry import get_system, register_system, available_systems
+
+__all__ = [
+    "System",
+    "ControlSpec",
+    "KinematicBicycle",
+    "Point2D",
+    "DoubleIntegrator2D",
+    "get_system",
+    "register_system",
+    "available_systems",
+]

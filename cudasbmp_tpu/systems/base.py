@@ -1,0 +1,65 @@
+"""Dynamical-system interface.
+
+The reference hardcodes one system — the kinematic bicycle inside
+``propagateAndCheck`` (statePropagator.cu:5-76), duplicated on the host in
+``Agent::updateState`` (Agent.cpp:19-25) — and ships an *empty*
+``systems/car.yaml`` whose evident intent was a declarative system description.
+Here systems are first-class: a pure, vmap-able Euler step plus a declarative
+control-sampling spec, so planners are generic over dynamics.
+
+State convention (matches the reference's sample layout, State.h:13-19):
+    position  = state[..., :2]       (x, y) — what collision/grid logic sees
+    remainder = system-specific (theta, v, ...) padded to ``state_dim``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Protocol, runtime_checkable
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ControlSpec:
+    """Uniform box control distribution + duration range.
+
+    The reference samples accel ~ U(-5, 5), steering ~ U(-pi, pi),
+    duration ~ U(0.05, 1.05) (statePropagator.cu:17-19; the comments there
+    disagree with the code — the code wins, SURVEY.md §2.4.3).
+    """
+
+    lo: tuple[float, ...]  # per-control-dim lower bounds (duration last)
+    hi: tuple[float, ...]  # per-control-dim upper bounds (duration last)
+
+    @property
+    def dim(self) -> int:
+        return len(self.lo)
+
+    def sample(self, key: Array, shape: tuple[int, ...] = ()) -> Array:
+        """Sample controls uniformly; returns [..., dim] with duration last."""
+        lo = jnp.asarray(self.lo, jnp.float32)
+        hi = jnp.asarray(self.hi, jnp.float32)
+        u = jax.random.uniform(key, shape + (self.dim,), jnp.float32)
+        return lo + u * (hi - lo)
+
+
+@runtime_checkable
+class System(Protocol):
+    """A controlled dynamical system with an explicit-Euler step.
+
+    Implementations must be pure pytrees of static config so they can be
+    closed over by jitted planner code.
+    """
+
+    name: str
+    state_dim: int  # dynamic state dims (>= 2; first two are x, y)
+    control_spec: ControlSpec  # includes duration as the last dim
+
+    def step(self, state: Array, control: Array, dt: Array) -> Array:
+        """One Euler step. state [..., state_dim], control [..., control_dim-1]
+        (duration excluded — it only sets dt), dt broadcastable. Pure."""
+        ...

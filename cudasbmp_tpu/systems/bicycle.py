@@ -1,0 +1,49 @@
+"""Kinematic bicycle ("car") — the reference's only real system.
+
+Semantics match ``propagateAndCheck`` (statePropagator.cu:31-48), the host
+duplicate ``Agent::updateState`` (Agent.cpp:19-25) and the MATLAB
+re-integration (visualizationKGMT_Single.m:93-112):
+
+    x     += v * cos(theta) * dt        # uses PRE-step theta, v
+    y     += v * sin(theta) * dt
+    theta += (v / L) * tan(steering) * dt
+    v     += a * dt
+
+Control sampling ranges follow the reference *code* (the comments there are
+stale — SURVEY.md §2.4.3): a ~ U(-5, 5), steering ~ U(-pi, pi),
+duration ~ U(0.05, 1.05) (statePropagator.cu:17-19).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from cudasbmp_tpu.systems.base import ControlSpec
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class KinematicBicycle:
+    name: str = "bicycle"
+    state_dim: int = 4  # x, y, theta, v   (STATE_DIM, KGMT.cu:6)
+    agent_length: float = 1.0  # wheelbase L (demos/main.cu:26)
+    control_spec: ControlSpec = dataclasses.field(
+        default_factory=lambda: ControlSpec(
+            lo=(-5.0, -math.pi, 0.05),
+            hi=(5.0, math.pi, 1.05),
+        )
+    )
+
+    def step(self, state: Array, control: Array, dt: Array) -> Array:
+        x, y, theta, v = (state[..., i] for i in range(4))
+        a, steering = control[..., 0], control[..., 1]
+        new_x = x + v * jnp.cos(theta) * dt
+        new_y = y + v * jnp.sin(theta) * dt
+        new_theta = theta + (v / self.agent_length) * jnp.tan(steering) * dt
+        new_v = v + a * dt
+        return jnp.stack([new_x, new_y, new_theta, new_v], axis=-1)

@@ -1,0 +1,39 @@
+"""2-D point agent (velocity-controlled), for BASELINE.json config 1.
+
+The reference has no second system but BASELINE.json's measurement config 1
+calls for a "2D point agent in R2 workspace ... CPU-runnable". State is
+(x, y, 0, 0) padded to the 4-dim state layout so all planner code is shared.
+Controls: velocity components vx, vy plus duration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from cudasbmp_tpu.systems.base import ControlSpec
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Point2D:
+    name: str = "point2d"
+    state_dim: int = 4
+    max_speed: float = 2.0
+    control_spec: ControlSpec = dataclasses.field(
+        default_factory=lambda: ControlSpec(
+            lo=(-2.0, -2.0, 0.05),
+            hi=(2.0, 2.0, 1.05),
+        )
+    )
+
+    def step(self, state: Array, control: Array, dt: Array) -> Array:
+        x, y = state[..., 0], state[..., 1]
+        vx, vy = control[..., 0], control[..., 1]
+        new_x = x + vx * dt
+        new_y = y + vy * dt
+        zeros = jnp.zeros_like(new_x)
+        return jnp.stack([new_x, new_y, zeros, zeros], axis=-1)

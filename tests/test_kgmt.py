@@ -1,0 +1,161 @@
+"""Integration tests for the flagship KGMT planner (SURVEY.md §4.3):
+full solve on the reference scenarios, path validity by control replay at
+finer discretization, determinism, score-formula values."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cudasbmp_tpu.config import KGMTConfig, Scenario
+from cudasbmp_tpu.geometry.grid import RegionGrid
+from cudasbmp_tpu.ops.rollout import rollout_batch
+from cudasbmp_tpu.planners.kgmt import KGMT, init_state, update_region_scores
+
+
+@pytest.fixture(scope="module")
+def solved(small_config, demo_scenario):
+    planner = KGMT(small_config)
+    result = planner.plan(demo_scenario)
+    return planner, result
+
+
+def test_solves_demo_scenario(solved):
+    """The demo workload (demos/main.cu:19-46): (5,5) -> (2,18), 20x20, 5
+    obstacles. Must find a solution."""
+    planner, result = solved
+    assert result.solved, (
+        f"no solution in {result.iterations} iters, tree {result.tree_size}"
+    )
+    assert result.cost > 0
+    assert result.tree_size > 1
+    assert result.iterations <= planner.config.num_iterations
+
+
+def test_path_endpoints_and_parent_chain(solved, demo_scenario):
+    planner, result = solved
+    path = result.path
+    assert len(path) >= 2
+    # starts at the root sample
+    np.testing.assert_allclose(path[0], demo_scenario.init, atol=1e-6)
+    # ends within goalThreshold of the goal (x, y), per inGoalRegion
+    d = np.hypot(path[-1, 0] - demo_scenario.goal[0],
+                 path[-1, 1] - demo_scenario.goal[1])
+    assert d < planner.config.goal_threshold
+    # parent chain is strictly decreasing tree indices ending at root 0
+    nodes = result.path_nodes
+    assert nodes[0] == 0
+    assert (np.diff(nodes) > 0).all()
+
+
+def test_path_replay_and_collision_free(solved, demo_scenario):
+    """Re-integrate each edge's stored control from its parent state: must
+    reproduce the stored child state (replay invariant) and stay
+    collision-free when re-checked at 4x finer discretization."""
+    planner, result = solved
+    cfg = planner.config
+    sys_ = planner.system
+    obstacles = jnp.asarray(demo_scenario.obstacles)
+    path = result.path
+    for i in range(1, len(path)):
+        x0 = jnp.asarray(path[i - 1][: sys_.state_dim])[None]
+        control = jnp.asarray(path[i][sys_.state_dim:])[None]
+        x1, valid = rollout_batch(
+            sys_, x0, control, cfg.num_disc, obstacles, cfg.width, cfg.height
+        )
+        assert bool(valid[0]), f"edge {i} not valid on replay"
+        np.testing.assert_allclose(
+            np.array(x1[0]), path[i][: sys_.state_dim], rtol=1e-5, atol=1e-5
+        )
+        # finer discretization: still in bounds and collision-free
+        _, valid_fine = rollout_batch(
+            sys_, x0, control, cfg.num_disc * 4, obstacles, cfg.width, cfg.height
+        )
+        assert bool(valid_fine[0]), f"edge {i} collides at finer resolution"
+
+
+def test_costs_nondecreasing_along_path(solved):
+    """Costs accumulate edge durations (getCost = x1[6], KGMT.cu:631-633), so
+    they are strictly increasing along any parent chain."""
+    planner, result = solved
+    state = result.state
+    costs = np.asarray(state.costs)[result.path_nodes]
+    assert (np.diff(costs) > 0).all()
+    durations = result.path[1:, 6]
+    np.testing.assert_allclose(np.diff(costs), durations, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(costs[-1], result.cost, rtol=1e-6)
+
+
+def test_determinism(small_config, demo_scenario):
+    """Same seed -> bitwise-identical outcome (the reference seeds with
+    time(NULL), KGMT.cu:111; we fix that, SURVEY.md P6)."""
+    r1 = KGMT(small_config).plan(demo_scenario)
+    r2 = KGMT(small_config).plan(demo_scenario)
+    assert r1.cost == r2.cost
+    assert r1.tree_size == r2.tree_size
+    np.testing.assert_array_equal(r1.path, r2.path)
+    r3 = KGMT(small_config).plan(demo_scenario, seed=99)
+    assert r3.cost != r1.cost or r3.tree_size != r1.tree_size
+
+
+def test_configs_scenario(small_config):
+    """The configurations/ scenario the demo ignores (SURVEY.md §2.4.10):
+    (1,1) -> (9,9)."""
+    sc = Scenario(
+        init=np.array([1.0, 1.0, 0, 0, 0, 0, 0], np.float32),
+        goal=np.array([9.0, 9.0, 0, 0, 0, 0, 0], np.float32),
+        obstacles=Scenario.demo().obstacles,
+    )
+    result = KGMT(small_config).plan(sc)
+    assert result.solved
+
+
+def test_all_valid_samples_inside_workspace(solved):
+    planner, result = solved
+    state = result.state
+    n = result.tree_size
+    xy = np.asarray(state.tree_samples)[:n, :2]
+    assert (xy > 0).all() and (xy < 20.0).all()
+
+
+def test_region_score_formula():
+    """Score formula values vs hand computation (updateR1, KGMT.cu:508-517)."""
+    cfg = KGMTConfig(N=2, n=2, max_tree_size=64, num_iterations=4)
+    grid = RegionGrid(width=cfg.width, height=cfg.height, N=2, n=2)
+    s = init_state(cfg, grid, jnp.zeros(7).at[0].set(1.0).at[1].set(1.0),
+                   jax.random.key(0))
+    s = s._replace(
+        r1_avail=jnp.array([1, 1, 0, 0], jnp.int32),
+        r1_valid=jnp.array([3, 1, 0, 0], jnp.int32),
+        r1_invalid=jnp.array([1, 0, 0, 0], jnp.int32),
+        r1_total=jnp.array([4, 1, 0, 0], jnp.int32),
+        r2_avail=jnp.zeros(16, jnp.int32).at[0].set(1).at[4].set(1),
+    )
+    score_norm, thr = update_region_scores(cfg, s)
+    eps = 0.01
+
+    def raw(valid, invalid, total, cov):
+        free = (eps + valid) / (eps + valid + invalid)
+        return free**4 / ((1 + cov) * (1 + total**2))
+
+    s0 = raw(3, 1, 4, 0.25)  # cell 0: 1 of 4 subcells covered
+    s1 = raw(1, 0, 1, 0.25)
+    total = s0 + s1
+    got = np.array(score_norm)
+    np.testing.assert_allclose(got[0], s0 / total, rtol=1e-5)
+    np.testing.assert_allclose(got[1], s1 / total, rtol=1e-5)
+    # untouched cells score 1.0 (KGMT.cu:531-533)
+    np.testing.assert_allclose(got[2:], 1.0)
+    np.testing.assert_allclose(float(thr), total / 2, rtol=1e-5)
+
+
+def test_capacity_clamp():
+    """Tree never exceeds max_tree_size (the reference can overflow,
+    SURVEY.md §2.4.4)."""
+    cfg = KGMTConfig(num_iterations=30, max_tree_size=300, rollouts_per_iter=256)
+    result = KGMT(cfg).plan(Scenario.demo())
+    assert result.tree_size <= 300
+    parents = np.asarray(result.state.tree_parent)
+    n = result.tree_size
+    assert (parents[1:n] >= 0).all()
+    assert (parents[1:n] < np.arange(1, n)).all()  # parents precede children

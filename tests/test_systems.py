@@ -1,0 +1,89 @@
+"""Unit tests for the systems layer (SURVEY.md §4.1): bicycle step vs the
+reference's Agent::updateState semantics (Agent.cpp:19-25), control sampling
+ranges (statePropagator.cu:17-19), registry behavior."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cudasbmp_tpu.systems import (
+    DoubleIntegrator2D,
+    KinematicBicycle,
+    Point2D,
+    available_systems,
+    get_system,
+)
+
+
+def reference_bicycle_step(state, a, steering, dt, L=1.0):
+    """Literal transcription of the update equations (Agent.cpp:19-25):
+    position uses pre-step theta and v."""
+    x, y, theta, v = state
+    return np.array(
+        [
+            x + v * math.cos(theta) * dt,
+            y + v * math.sin(theta) * dt,
+            theta + (v / L) * math.tan(steering) * dt,
+            v + a * dt,
+        ]
+    )
+
+
+def test_bicycle_step_matches_reference_semantics():
+    sys_ = KinematicBicycle()
+    state = jnp.array([1.0, 2.0, 0.7, 1.5])
+    control = jnp.array([2.0, 0.3])
+    dt = jnp.float32(0.05)
+    got = sys_.step(state, control, dt)
+    want = reference_bicycle_step(np.array(state), 2.0, 0.3, 0.05)
+    np.testing.assert_allclose(np.array(got), want, rtol=1e-6)
+
+
+def test_bicycle_step_batched_matches_loop():
+    sys_ = KinematicBicycle()
+    key = jax.random.key(0)
+    states = jax.random.normal(key, (32, 4))
+    controls = jax.random.normal(jax.random.key(1), (32, 2))
+    dt = jnp.full(32, 0.1)
+    batched = sys_.step(states, controls, dt)
+    for i in range(32):
+        single = sys_.step(states[i], controls[i], dt[i])
+        np.testing.assert_allclose(np.array(batched[i]), np.array(single), rtol=1e-6)
+
+
+def test_control_sampling_ranges():
+    """a in [-5,5], steering in [-pi,pi], duration in [0.05,1.05] — the code
+    ranges, not the stale comments (SURVEY.md §2.4.3)."""
+    sys_ = KinematicBicycle()
+    c = sys_.control_spec.sample(jax.random.key(0), (10000,))
+    c = np.array(c)
+    assert c.shape == (10000, 3)
+    assert c[:, 0].min() >= -5.0 and c[:, 0].max() <= 5.0
+    assert c[:, 1].min() >= -math.pi and c[:, 1].max() <= math.pi
+    assert c[:, 2].min() >= 0.05 and c[:, 2].max() <= 1.05
+    # distribution sanity: roughly uniform
+    assert abs(c[:, 0].mean()) < 0.2
+    assert 0.5 < c[:, 2].mean() < 0.6
+
+
+def test_point2d_and_double_integrator_step():
+    p = Point2D()
+    s = p.step(jnp.array([1.0, 1.0, 0.0, 0.0]), jnp.array([1.0, -1.0]), 0.5)
+    np.testing.assert_allclose(np.array(s), [1.5, 0.5, 0.0, 0.0], rtol=1e-6)
+
+    d = DoubleIntegrator2D()
+    s = d.step(jnp.array([0.0, 0.0, 1.0, 2.0]), jnp.array([1.0, 1.0]), 0.5)
+    # position integrates pre-step velocity
+    np.testing.assert_allclose(np.array(s), [0.5, 1.0, 1.5, 2.5], rtol=1e-6)
+
+
+def test_registry():
+    assert "bicycle" in available_systems()
+    assert "car" in available_systems()
+    assert get_system("car").name == "bicycle"
+    assert get_system("bicycle", agent_length=2.0).agent_length == 2.0
+    with pytest.raises(KeyError):
+        get_system("warp_drive")

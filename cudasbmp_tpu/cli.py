@@ -1,0 +1,169 @@
+"""Command-line demo driver — the analog of ``demos/main.cu`` (SURVEY.md L6),
+grown into a real CLI.
+
+The reference's only executable hardcodes one scenario and ignores most of its
+own ``configurations/`` files (demos/main.cu:19-46; SURVEY.md §2.4.10). This
+CLI runs the same hardcoded demo by default (``demo``), honors full
+``configurations/`` directories (``plan --configurations DIR``), dumps the
+reference-named artifact CSVs, and exposes the throughput probes and
+visualization.
+
+Usage:
+    python -m cudasbmp_tpu.cli demo [--out-dir DIR] [--seed K] [...]
+    python -m cudasbmp_tpu.cli plan --configurations DIR [...]
+    python -m cudasbmp_tpu.cli probe [--planner naive|costprop] [--width W]
+    python -m cudasbmp_tpu.cli viz --artifacts DIR [--out tree.png]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _add_config_args(p: argparse.ArgumentParser) -> None:
+    from cudasbmp_tpu.config import KGMTConfig
+
+    defaults = KGMTConfig()
+    p.add_argument("--width", type=float, default=defaults.width)
+    p.add_argument("--height", type=float, default=defaults.height)
+    p.add_argument("--N", type=int, default=defaults.N, help="R1 cells per axis")
+    p.add_argument("--n", type=int, default=defaults.n, help="R2 subcells per axis")
+    p.add_argument("--num-iterations", type=int, default=defaults.num_iterations)
+    p.add_argument("--max-tree-size", type=int, default=defaults.max_tree_size)
+    p.add_argument("--num-disc", type=int, default=defaults.num_disc)
+    p.add_argument("--agent-length", type=float, default=defaults.agent_length)
+    p.add_argument("--goal-threshold", type=float, default=defaults.goal_threshold)
+    p.add_argument("--rollouts-per-iter", type=int, default=defaults.rollouts_per_iter)
+    p.add_argument("--system", default=defaults.system)
+    p.add_argument("--seed", type=int, default=defaults.seed)
+    p.add_argument("--config", help="YAML/JSON config file (overridden by flags "
+                   "explicitly set on the command line)")
+
+
+def _config_from_args(args: argparse.Namespace):
+    from cudasbmp_tpu.config import KGMTConfig
+
+    if args.config:
+        cfg = KGMTConfig.from_file(args.config)
+    else:
+        cfg = KGMTConfig()
+    flag_fields = dict(
+        width=args.width, height=args.height, N=args.N, n=args.n,
+        num_iterations=args.num_iterations, max_tree_size=args.max_tree_size,
+        num_disc=args.num_disc, agent_length=args.agent_length,
+        goal_threshold=args.goal_threshold,
+        rollouts_per_iter=args.rollouts_per_iter, system=args.system,
+        seed=args.seed,
+    )
+    defaults = KGMTConfig()
+    overrides = {
+        k: v for k, v in flag_fields.items()
+        if v != getattr(defaults, k) or not args.config
+    }
+    return dataclasses.replace(cfg, **overrides)
+
+
+def _run_plan(args: argparse.Namespace, scenario) -> int:
+    from cudasbmp_tpu.io.csv import write_artifacts
+    from cudasbmp_tpu.planners.kgmt import KGMT
+    from cudasbmp_tpu.utils.metrics import iteration_metrics_table, summarize_result
+
+    cfg = _config_from_args(args)
+    planner = KGMT(cfg)
+    print(f"Goal: {scenario.goal[0]:f}, {scenario.goal[1]:f}")  # KGMT.cu:100 parity
+    result = planner.plan(scenario)
+    print(f"time inside KGMT is {result.wall_time_s}")  # KGMT.cu:295 parity
+    print(f"Iteration {result.iterations}, Tree size {result.tree_size}")
+    summary = summarize_result(result)
+    print(json.dumps(summary, indent=2))
+    if args.verbose:
+        print(iteration_metrics_table(result.metrics))
+    if args.out_dir:
+        written = write_artifacts(result.state, cfg, args.out_dir)
+        print(f"wrote {len(written)} artifact CSVs to {args.out_dir}")
+        if args.plot:
+            from cudasbmp_tpu.viz import plot_tree
+
+            out = plot_tree(result=result, config=cfg,
+                            obstacles=scenario.obstacles,
+                            out_path=f"{args.out_dir}/tree.png")
+            print(f"wrote {out}")
+    return 0 if result.solved else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="cudasbmp_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_demo = sub.add_parser("demo", help="run the reference demo scenario "
+                            "(demos/main.cu workload)")
+    _add_config_args(p_demo)
+    p_demo.add_argument("--out-dir", help="dump artifact CSVs here")
+    p_demo.add_argument("--plot", action="store_true")
+    p_demo.add_argument("--verbose", action="store_true")
+
+    p_plan = sub.add_parser("plan", help="plan a configurations/ scenario")
+    _add_config_args(p_plan)
+    p_plan.add_argument("--configurations", required=True,
+                        help="directory in the reference configurations/ layout")
+    p_plan.add_argument("--out-dir", help="dump artifact CSVs here")
+    p_plan.add_argument("--plot", action="store_true")
+    p_plan.add_argument("--verbose", action="store_true")
+
+    p_probe = sub.add_parser("probe", help="raw propagation-throughput probes "
+                             "(Naive/CostProp planner analogs)")
+    p_probe.add_argument("--planner", choices=["naive", "costprop"],
+                         default="costprop")
+    p_probe.add_argument("--width", type=int, default=1024 * 512,
+                         help="rollouts per row (CostProp reference: 524288)")
+    p_probe.add_argument("--rows", type=int, default=1)
+
+    p_viz = sub.add_parser("viz", help="plot a dumped artifact directory")
+    p_viz.add_argument("--artifacts", required=True)
+    p_viz.add_argument("--out", default="tree.png")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "demo":
+        from cudasbmp_tpu.config import Scenario
+
+        return _run_plan(args, Scenario.demo())
+
+    if args.cmd == "plan":
+        from cudasbmp_tpu.io.csv import load_scenario
+
+        scenario, grid_params = load_scenario(args.configurations)
+        args.N = grid_params["N"] if args.N == 16 else args.N
+        args.n = grid_params["n"] if args.n == 8 else args.n
+        return _run_plan(args, scenario)
+
+    if args.cmd == "probe":
+        from cudasbmp_tpu.config import Scenario
+
+        if args.planner == "naive":
+            from cudasbmp_tpu.planners.naive import NaivePlanner as P
+        else:
+            from cudasbmp_tpu.planners.costprop import CostPropPlanner as P
+        probe = P(width_rollouts=args.width, rows=args.rows)
+        r = probe.plan(Scenario.demo())
+        # NaivePlanner.cu:129-130 parity
+        print(f"Kernel execution time: {r.kernel_time_s * 1e3:f} milliseconds")
+        print(f"Tree size: {r.num_rollouts}")
+        print(json.dumps({"rollouts_per_sec": r.rollouts_per_sec}))
+        return 0
+
+    if args.cmd == "viz":
+        from cudasbmp_tpu.viz import plot_tree
+
+        out = plot_tree(artifacts_dir=args.artifacts, out_path=args.out)
+        print(f"wrote {out}")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,44 @@
+"""Checkpoint / resume for planner state.
+
+The reference has none (SURVEY.md §5) — its closest analog is the full-state
+CSV dump at the end of plan (KGMT.cu:299-311), which is in fact a complete
+checkpoint minus RNG. Because our planner state is one pytree (KGMTState,
+including the RNG key and iteration counter), snapshot/restore is exact: a
+resumed solve continues bit-identically from where it stopped.
+
+Format: ``np.savez`` of the flattened pytree (orbax would also work; savez
+keeps checkpoints dependency-free and human-inspectable).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from cudasbmp_tpu.planners.kgmt import KGMTState
+
+_KEY_FIELD = "key"
+
+
+def save_checkpoint(state: KGMTState, path: str | os.PathLike) -> None:
+    data = {}
+    for name, val in state._asdict().items():
+        if name == _KEY_FIELD:
+            # typed PRNG keys serialize via their raw uint32 key data
+            data[name] = np.asarray(jax.random.key_data(val))
+        else:
+            data[name] = np.asarray(val)
+    np.savez(path, **data)
+
+
+def load_checkpoint(path: str | os.PathLike) -> KGMTState:
+    with np.load(path) as z:
+        fields = {}
+        for name in KGMTState._fields:
+            if name == _KEY_FIELD:
+                fields[name] = jax.random.wrap_key_data(z[name])
+            else:
+                fields[name] = jax.numpy.asarray(z[name])
+    return KGMTState(**fields)

@@ -302,13 +302,13 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
     )
 
 
-def kgmt_solve(cfg: KGMTConfig, system, grid: RegionGrid, init: Array,
-               goal: Array, obstacles: Array, key: Array) -> KGMTState:
-    """Full solve: seed, then while_loop iterations until first solution,
-    tree full, stall (when retry is off), or iteration budget — the
-    reference's host loop + termination tests (KGMT.cu:118-259) with the
-    done-flag kept on device (no per-iteration host syncs)."""
-    s0 = init_state(cfg, grid, init, key)
+def kgmt_run(cfg: KGMTConfig, system, grid: RegionGrid, goal: Array,
+             obstacles: Array, s0: KGMTState) -> KGMTState:
+    """Iterate from an arbitrary starting state until first solution, tree
+    full, stall (when retry is off), or iteration budget — the reference's
+    host loop + termination tests (KGMT.cu:118-259) with the done-flag kept
+    on device (no per-iteration host syncs). Starting from a checkpointed
+    state continues the exact same trajectory (resume support)."""
 
     def cond(s: KGMTState) -> Array:
         solved = jnp.isfinite(s.cost_to_goal)
@@ -318,6 +318,13 @@ def kgmt_solve(cfg: KGMTConfig, system, grid: RegionGrid, init: Array,
 
     body = partial(kgmt_iteration, cfg, system, grid, obstacles, goal)
     return jax.lax.while_loop(cond, body, s0)
+
+
+def kgmt_solve(cfg: KGMTConfig, system, grid: RegionGrid, init: Array,
+               goal: Array, obstacles: Array, key: Array) -> KGMTState:
+    """Full solve from scratch: seed the tree, then run to termination."""
+    s0 = init_state(cfg, grid, init, key)
+    return kgmt_run(cfg, system, grid, goal, obstacles, s0)
 
 
 def extract_path(cfg: KGMTConfig, s: KGMTState) -> tuple[Array, Array, Array]:
@@ -375,7 +382,14 @@ class KGMT(Planner):
             nodes, samples, length = extract_path(cfg, final)
             return final, nodes, samples, length
 
+        @jax.jit
+        def _resume(s0, goal, obstacles):
+            final = kgmt_run(cfg, sys_, grid, goal, obstacles, s0)
+            nodes, samples, length = extract_path(cfg, final)
+            return final, nodes, samples, length
+
         self._solve = _solve
+        self._resume = _resume
 
     # -- Planner interface -------------------------------------------------
     def plan(self, scenario: Scenario, seed: int | None = None) -> KGMTResult:
@@ -389,7 +403,22 @@ class KGMT(Planner):
         )
         final = jax.block_until_ready(final)
         wall = time.perf_counter() - t0
+        return self._build_result(final, nodes, samples, length, wall)
 
+    def resume(self, state: KGMTState, scenario: Scenario) -> KGMTResult:
+        """Continue a solve from a (possibly checkpointed) state — exact
+        resume, including RNG (io.checkpoint round-trips the full pytree)."""
+        cfg = self.config
+        obstacles, _ = scenario.padded_obstacles(cfg.max_obstacles)
+        t0 = time.perf_counter()
+        final, nodes, samples, length = self._resume(
+            state, jnp.asarray(scenario.goal), jnp.asarray(obstacles)
+        )
+        final = jax.block_until_ready(final)
+        wall = time.perf_counter() - t0
+        return self._build_result(final, nodes, samples, length, wall)
+
+    def _build_result(self, final, nodes, samples, length, wall) -> KGMTResult:
         cost = float(final.cost_to_goal)
         solved = np.isfinite(cost)
         length_i = int(length)

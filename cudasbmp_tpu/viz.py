@@ -1,0 +1,125 @@
+"""Tree / workspace visualization — Python replacement for the reference's
+MATLAB scripts (visualization/visualizationKGMT_Single.m etc., SURVEY.md §3.4).
+
+Like the MATLAB `_Single` script, edges are drawn by RE-INTEGRATING each
+node's stored control from its parent state (visualizationKGMT_Single.m:86-112)
+rather than straight lines — so a propagator bug is visible as curves that
+miss their child nodes. Reads either a live KGMTResult or a directory of the
+reference-named artifact CSVs.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from cudasbmp_tpu.config import KGMTConfig, SAMPLE_DIM
+from cudasbmp_tpu.systems.registry import get_system
+
+
+def _integrate_edge(system, x0: np.ndarray, control: np.ndarray, num_disc: int
+                    ) -> np.ndarray:
+    """Re-integrate one edge on the host; returns [num_disc+1, 2] positions."""
+    import jax.numpy as jnp
+
+    state = jnp.asarray(x0[: system.state_dim])
+    a_steer = jnp.asarray(control[:-1])
+    dt = float(control[-1]) / num_disc
+    pts = [np.asarray(state[:2])]
+    for _ in range(num_disc):
+        state = system.step(state, a_steer, dt)
+        pts.append(np.asarray(state[:2]))
+    return np.stack(pts)
+
+
+def plot_tree(result=None, artifacts_dir: str | os.PathLike | None = None,
+              config: KGMTConfig | None = None, out_path: str = "tree.png",
+              obstacles: np.ndarray | None = None, max_edges: int = 2000,
+              show_grid: bool = True) -> str:
+    """Render the search tree over the workspace; returns the written path."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cfg = config or KGMTConfig()
+    system = get_system(cfg.system)
+
+    if result is not None:
+        samples = np.asarray(result.state.tree_samples)
+        parents = np.asarray(result.state.tree_parent)
+        tree_size = result.tree_size
+        path_nodes = result.path_nodes
+    else:
+        d = Path(artifacts_dir)
+        samples = np.loadtxt(d / "samples.csv", delimiter=",").reshape(-1, SAMPLE_DIM)
+        parents = np.loadtxt(d / "parentRelations.csv", delimiter=",").astype(int)
+        tree_size = int((parents >= 0).sum()) + 1
+        path_nodes = None
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.set_xlim(0, cfg.width)
+    ax.set_ylim(0, cfg.height)
+    ax.set_aspect("equal")
+
+    if show_grid:
+        for i in range(cfg.N + 1):
+            ax.axvline(i * cfg.r1_size, color="0.9", lw=0.5, zorder=0)
+            ax.axhline(i * cfg.r1_size, color="0.9", lw=0.5, zorder=0)
+
+    if obstacles is not None:
+        for (x0, y0, x1, y1) in obstacles:
+            ax.add_patch(plt.Rectangle((x0, y0), x1 - x0, y1 - y0,
+                                       color="0.3", zorder=2))
+
+    # edges: re-integrated trajectories (the MATLAB cross-check)
+    n_edges = 0
+    for child in range(1, tree_size):
+        if n_edges >= max_edges:
+            break
+        p = parents[child]
+        if p < 0:
+            continue
+        pts = _integrate_edge(system, samples[p], samples[child, 4:7], cfg.num_disc)
+        ax.plot(pts[:, 0], pts[:, 1], color="tab:blue", lw=0.3, alpha=0.4, zorder=1)
+        n_edges += 1
+
+    ax.scatter(samples[:tree_size, 0], samples[:tree_size, 1], s=1,
+               color="tab:blue", zorder=3)
+
+    if path_nodes is not None and len(path_nodes) > 1:
+        for i in range(1, len(path_nodes)):
+            p, c = path_nodes[i - 1], path_nodes[i]
+            pts = _integrate_edge(system, samples[p], samples[c, 4:7], cfg.num_disc)
+            ax.plot(pts[:, 0], pts[:, 1], color="tab:red", lw=2.0, zorder=4)
+
+    ax.set_title(f"KGMT tree ({tree_size} nodes)")
+    fig.savefig(out_path, dpi=130, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def plot_metrics(metrics: dict, out_path: str = "metrics.png") -> str:
+    """Per-iteration counters: frontier size, valid/accepted, tree growth."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 3, figsize=(14, 4))
+    it = np.arange(len(metrics["frontier_size"]))
+    axes[0].plot(it, metrics["frontier_size"])
+    axes[0].set_title("frontier size")
+    axes[1].plot(it, metrics["valid"], label="valid")
+    axes[1].plot(it, metrics["accepted"], label="accepted")
+    axes[1].legend()
+    axes[1].set_title("rollouts per iteration")
+    axes[2].plot(it, metrics["tree_size"])
+    axes[2].set_title("tree size")
+    for ax in axes:
+        ax.set_xlabel("iteration")
+    fig.savefig(out_path, dpi=130, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

@@ -1,0 +1,73 @@
+"""CLI tests: the demo driver (demos/main.cu analog), configurations/ mode,
+probes, artifact dumps + viz."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_cli(*args, timeout=420):
+    """Run the CLI in a subprocess on the forced-CPU platform."""
+    code = (
+        "import os;"
+        "os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')"
+        "+' --xla_force_host_platform_device_count=8';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from cudasbmp_tpu.cli import main;"
+        f"import sys; sys.exit(main({list(args)!r}))"
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=timeout, cwd=REPO,
+    )
+
+
+@pytest.mark.slow
+def test_cli_demo_solves(tmp_path):
+    r = run_cli(
+        "demo", "--max-tree-size", "16384", "--rollouts-per-iter", "2048",
+        "--out-dir", str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    # reference print parity lines (KGMT.cu:100,295-296)
+    assert "Goal: " in r.stdout
+    assert "time inside KGMT is " in r.stdout
+    assert "Iteration " in r.stdout and "Tree size " in r.stdout
+    assert (tmp_path / "samples.csv").exists()
+    assert (tmp_path / "R1Score.csv").exists()
+
+
+@pytest.mark.slow
+def test_cli_plan_configurations(tmp_path):
+    cfg_dir = tmp_path / "configurations"
+    for sub, content in [
+        ("init/init.csv", "1.0,1.0,0,0,0,0,0"),
+        ("goal/goal.csv", "9.0,9.0,0,0,0,0,0"),
+        ("obstacles/obstacles.csv", "2,2,4,4\n7,2,9,5\n"),
+        ("numR1/numR1.csv", "16"),
+        ("R2/numR2.csv", "8"),
+    ]:
+        p = cfg_dir / sub
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(content)
+    r = run_cli(
+        "plan", "--configurations", str(cfg_dir),
+        "--max-tree-size", "8192", "--rollouts-per-iter", "1024",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"solved": true' in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_probe():
+    r = run_cli("probe", "--planner", "costprop", "--width", "16384")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Kernel execution time:" in r.stdout  # NaivePlanner.cu:129 parity
+    assert "Tree size: 16384" in r.stdout
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    assert json.loads(line)["rollouts_per_sec"] > 0

@@ -1,0 +1,29 @@
+"""Visualization smoke tests (MATLAB-script replacement, SURVEY.md §3.4)."""
+
+from pathlib import Path
+
+from cudasbmp_tpu.planners.kgmt import KGMT
+from cudasbmp_tpu.io.csv import write_artifacts
+from cudasbmp_tpu.viz import plot_metrics, plot_tree
+
+
+def test_plot_tree_from_result(small_config, demo_scenario, tmp_path):
+    result = KGMT(small_config).plan(demo_scenario)
+    out = plot_tree(result=result, config=small_config,
+                    obstacles=demo_scenario.obstacles,
+                    out_path=str(tmp_path / "tree.png"), max_edges=200)
+    assert Path(out).stat().st_size > 10_000
+
+
+def test_plot_tree_from_artifacts(small_config, demo_scenario, tmp_path):
+    result = KGMT(small_config).plan(demo_scenario)
+    write_artifacts(result.state, small_config, tmp_path)
+    out = plot_tree(artifacts_dir=tmp_path, config=small_config,
+                    out_path=str(tmp_path / "tree2.png"), max_edges=50)
+    assert Path(out).exists()
+
+
+def test_plot_metrics(small_config, demo_scenario, tmp_path):
+    result = KGMT(small_config).plan(demo_scenario)
+    out = plot_metrics(result.metrics, out_path=str(tmp_path / "m.png"))
+    assert Path(out).stat().st_size > 5_000

@@ -1,0 +1,183 @@
+"""Benchmark harness — reports the BASELINE.json headline metric.
+
+Primary metric: **valid propagations/sec/chip** — collision-checked
+``num_disc``-step kinematic-bicycle rollouts per second through the fused
+propagate+check path, on the demo workload's obstacle set (the reference's
+CostPropPlanner throughput probe, upgraded to include collision checking as
+BASELINE.md specifies). Secondary: time-to-first-solution on the reference
+demo scenario (KGMT.cu:294-296 analog) and multi-query solves/sec.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline = value / (10x the single-process CPU baseline), i.e. >= 1.0
+means the BASELINE.json target ">=10x CPU-baseline valid props/sec/chip" is
+met. The CPU baseline is measured in a forced-CPU subprocess and cached in
+.bench_cpu_baseline.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+CPU_CACHE = REPO / ".bench_cpu_baseline.json"
+
+# Rollout batch for the throughput probe. Large enough to saturate the chip;
+# small enough that a CPU baseline run finishes quickly.
+BATCH = 1 << 17
+NUM_DISC = 10
+REPEATS = 20
+
+
+def measure_prop_throughput(batch: int = BATCH, repeats: int = REPEATS,
+                            backend: str = "jnp") -> dict:
+    """Valid propagations/sec on the current default device.
+
+    backend: 'jnp' (XLA-fused generic path) or 'pallas' (fused kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cudasbmp_tpu.config import Scenario
+    from cudasbmp_tpu.ops.rollout import rollout_batch
+    from cudasbmp_tpu.ops.rollout_pallas import rollout_bicycle_pallas
+    from cudasbmp_tpu.systems.registry import get_system
+
+    system = get_system("bicycle")
+    scenario = Scenario.demo()
+    obstacles = jnp.asarray(scenario.obstacles)
+
+    def one_wave(key, x0):
+        controls = system.control_spec.sample(key, (batch,))
+        if backend == "pallas":
+            _, valid = rollout_bicycle_pallas(
+                x0, controls, obstacles, num_disc=NUM_DISC,
+                width=20.0, height=20.0,
+            )
+        else:
+            _, valid = rollout_batch(system, x0, controls, NUM_DISC,
+                                     obstacles, 20.0, 20.0)
+        return valid.sum(dtype=jnp.int32)
+
+    @jax.jit
+    def probe(key, x0):
+        # all repeats inside one dispatch: measures device throughput, not
+        # host->device launch latency (which the tunnel inflates)
+        def body(total, i):
+            return total + one_wave(jax.random.fold_in(key, i), x0), None
+        total, _ = jax.lax.scan(body, jnp.int32(0),
+                                jnp.arange(repeats, dtype=jnp.int32))
+        return total
+
+    # starts spread over free space, like a mid-solve frontier
+    key = jax.random.key(0)
+    x0 = jax.random.uniform(key, (batch, system.state_dim), minval=1.0,
+                            maxval=19.0)
+    x0 = x0.at[:, 2:].set(0.0)
+
+    int(probe(key, x0))  # warmup/compile
+    t0 = time.perf_counter()
+    total_valid = int(probe(jax.random.fold_in(key, 123), x0))
+    dt = time.perf_counter() - t0
+    return {
+        "total_rollouts": batch * repeats,
+        "valid_rollouts": total_valid,
+        "rollouts_per_sec": batch * repeats / dt,
+        "valid_per_sec": total_valid / dt,
+        "seconds": dt,
+        "platform": jax.devices()[0].platform,
+    }
+
+
+def measure_time_to_solution() -> dict:
+    """Wall time to first solution on the reference demo workload."""
+    from cudasbmp_tpu.config import KGMTConfig, Scenario
+    from cudasbmp_tpu.planners.kgmt import KGMT
+
+    planner = KGMT(KGMTConfig())
+    # compile once (excluded, like the reference's in-plan clock which also
+    # excludes CUDA compile)
+    planner.plan(Scenario.demo())
+    results = [planner.plan(Scenario.demo(), seed=s) for s in range(3)]
+    solved = [r for r in results if r.solved]
+    return {
+        "solve_rate": len(solved) / len(results),
+        "tts_s": min(r.wall_time_s for r in solved) if solved else None,
+        "tts_mean_s": (sum(r.wall_time_s for r in solved) / len(solved))
+        if solved else None,
+        "cost": min(r.cost for r in solved) if solved else None,
+    }
+
+
+def cpu_baseline() -> float:
+    """Single-process CPU valid-props/sec, measured once and cached."""
+    if CPU_CACHE.exists():
+        try:
+            return json.loads(CPU_CACHE.read_text())["valid_per_sec"]
+        except Exception:
+            pass
+    code = (
+        "import os;"
+        "os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','');"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.path.insert(0, r'%s');"
+        "from bench import measure_prop_throughput;"
+        "import json; print('CPU_RESULT '+json.dumps("
+        "measure_prop_throughput(batch=1<<15, repeats=5)))" % REPO
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=900, cwd=REPO,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("CPU_RESULT "):
+                res = json.loads(line[len("CPU_RESULT "):])
+                CPU_CACHE.write_text(json.dumps(res))
+                return res["valid_per_sec"]
+    except Exception:
+        pass
+    return float("nan")
+
+
+def main() -> None:
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    thr_jnp = measure_prop_throughput(backend="jnp")
+    thr_pallas = measure_prop_throughput(backend="pallas") if on_tpu else None
+    best = max(
+        [t for t in (thr_jnp, thr_pallas) if t],
+        key=lambda t: t["valid_per_sec"],
+    )
+    tts = measure_time_to_solution()
+    cpu = cpu_baseline()
+    value = best["valid_per_sec"]
+    target = 10.0 * cpu if cpu == cpu else float("nan")  # >=10x CPU baseline
+    result = {
+        "metric": "valid propagations/sec/chip",
+        "value": round(value, 1),
+        "unit": "valid 10-step rollouts/s",
+        "vs_baseline": round(value / target, 3) if target == target else None,
+        "extra": {
+            "platform": best["platform"],
+            "total_rollouts_per_sec": round(best["rollouts_per_sec"], 1),
+            "jnp_valid_per_sec": round(thr_jnp["valid_per_sec"], 1),
+            "pallas_valid_per_sec": round(thr_pallas["valid_per_sec"], 1)
+            if thr_pallas else None,
+            "cpu_valid_per_sec": round(cpu, 1) if cpu == cpu else None,
+            "time_to_first_solution_s": tts["tts_s"],
+            "tts_mean_s": tts["tts_mean_s"],
+            "solve_rate": tts["solve_rate"],
+            "solution_cost": tts["cost"],
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

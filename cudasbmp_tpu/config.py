@@ -63,10 +63,12 @@ class KGMTConfig:
     # empties permanently and the planner spins (SURVEY.md §2.4 discussion).
     # True (default) retries the same frontier instead.
     keep_frontier_on_stall: bool = True
-    # Check the device-side done flag on the host every k iterations; the body
-    # always runs fully on device (lax.while_loop), this only bounds trace size.
-    # Kept for API parity with tracing tools; not usually needed.
+    # Static capacity of the obstacle set (scenarios pad up to this).
     max_obstacles: int = 32
+    # Rollout implementation: 'auto' uses the fused Pallas kernel on TPU for
+    # supported systems and the XLA-fused jnp path elsewhere; 'pallas'/'jnp'
+    # force one (pallas on CPU runs in interpret mode — tests only).
+    rollout_backend: str = "auto"
 
     @property
     def r1_size(self) -> float:

@@ -1,0 +1,13 @@
+from cudasbmp_tpu.parallel.mesh import make_planner_mesh, device_count
+from cudasbmp_tpu.parallel.multi_query import MultiQueryPlanner
+from cudasbmp_tpu.parallel.monte_carlo import MonteCarloPlanner, random_scenarios
+from cudasbmp_tpu.parallel.sharded_tree import ShardedTreePlanner
+
+__all__ = [
+    "make_planner_mesh",
+    "device_count",
+    "MultiQueryPlanner",
+    "MonteCarloPlanner",
+    "random_scenarios",
+    "ShardedTreePlanner",
+]

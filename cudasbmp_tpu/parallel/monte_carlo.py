@@ -1,0 +1,112 @@
+"""Monte-Carlo planning sweeps: many randomized obstacle scenarios
+(BASELINE.json config 5: "1000+ randomized obstacle scenarios across N>=2
+hosts"), data-parallel over the mesh with a collective summary reduction.
+
+Scenario generation is deterministic from a key (obstacles, starts and goals
+re-sampled until mutually non-colliding, all inside the workspace), so every
+process of a multi-host run generates the same global scenario set and takes
+its own process-local slice — no scenario broadcast needed (the standard
+multi-host input pattern)."""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from cudasbmp_tpu.config import KGMTConfig
+from cudasbmp_tpu.geometry.aabb import point_in_any_obstacle
+from cudasbmp_tpu.parallel.multi_query import MultiQueryPlanner
+
+
+def random_scenarios(key, batch: int, config: KGMTConfig,
+                     num_obstacles: int = 8, obstacle_max_size: float = 4.0,
+                     margin: float = 0.5):
+    """Generate ``batch`` random scenarios: (inits, goals, obstacles) arrays
+    with shapes [B, 7], [B, 7], [B, K, 4]. Starts/goals avoid obstacles by
+    rejection over a fixed candidate set (deterministic, fixed shapes)."""
+    cfg = config
+    k_obs, k_init, k_goal = jax.random.split(key, 3)
+
+    def one(k_o, k_i, k_g):
+        lo = jax.random.uniform(
+            k_o, (num_obstacles, 2), minval=0.0,
+            maxval=jnp.array([cfg.width, cfg.height]) - margin,
+        )
+        size = jax.random.uniform(k_o, (num_obstacles, 2), minval=0.5,
+                                  maxval=obstacle_max_size)
+        hi = jnp.minimum(lo + size, jnp.array([cfg.width, cfg.height]))
+        obstacles = jnp.concatenate([lo, hi], axis=-1)
+
+        def pick_free(k):
+            # 32 candidates; take the first obstacle-free one (fixed shape)
+            cand = jax.random.uniform(
+                k, (32, 2), minval=margin,
+                maxval=jnp.array([cfg.width, cfg.height]) - margin,
+            )
+            free = ~point_in_any_obstacle(cand, obstacles)
+            idx = jnp.argmax(free)  # first True (or 0 if none — degenerate)
+            return cand[idx]
+
+        init = jnp.zeros(7).at[0:2].set(pick_free(k_i))
+        goal = jnp.zeros(7).at[0:2].set(pick_free(k_g))
+        return init, goal, obstacles
+
+    ks = [jax.random.split(k, batch) for k in (k_obs, k_init, k_goal)]
+    inits, goals, obstacles = jax.vmap(one)(*ks)
+    # pad obstacle arrays to the planner's static max
+    pad = cfg.max_obstacles - num_obstacles
+    if pad < 0:
+        raise ValueError(f"{num_obstacles} obstacles > max {cfg.max_obstacles}")
+    empty = jnp.zeros((batch, pad, 4)).at[:, :, 0:2].set(1.0)  # degenerate
+    obstacles = jnp.concatenate([obstacles, empty], axis=1)
+    return np.asarray(inits), np.asarray(goals), np.asarray(obstacles)
+
+
+@dataclasses.dataclass
+class MonteCarloSummary:
+    num_scenarios: int
+    solve_rate: float
+    mean_cost_solved: float
+    mean_tree_size: float
+    wall_time_s: float
+    solves_per_sec: float
+    costs: np.ndarray
+    solved: np.ndarray
+
+
+class MonteCarloPlanner:
+    """Sweep many random scenarios; multi-host ready (each process feeds its
+    local shard; the summary uses global arrays via jax.Array addressable
+    data when running single-host, or process-local means otherwise)."""
+
+    def __init__(self, config: KGMTConfig | None = None,
+                 mesh: Mesh | None = None):
+        self.config = config or KGMTConfig()
+        self.planner = MultiQueryPlanner(self.config, mesh=mesh)
+
+    def run(self, num_scenarios: int, seed: int = 0, num_obstacles: int = 8
+            ) -> MonteCarloSummary:
+        inits, goals, obstacles = random_scenarios(
+            jax.random.key(seed), num_scenarios, self.config,
+            num_obstacles=num_obstacles,
+        )
+        t0 = time.perf_counter()
+        res = self.planner.plan_batch(inits, goals, obstacles, seed=seed + 1)
+        wall = time.perf_counter() - t0
+        solved = res.solved
+        return MonteCarloSummary(
+            num_scenarios=num_scenarios,
+            solve_rate=float(solved.mean()),
+            mean_cost_solved=float(res.costs[solved].mean()) if solved.any()
+            else float("nan"),
+            mean_tree_size=float(res.tree_sizes.mean()),
+            wall_time_s=wall,
+            solves_per_sec=num_scenarios / wall,
+            costs=res.costs,
+            solved=solved,
+        )

@@ -1,0 +1,116 @@
+"""Multi-query planning: a batch of init/goal pairs solved simultaneously,
+sharded over the mesh's ``scenario`` axis (BASELINE.json config 4: "256
+init/goal pairs planned simultaneously, sharded across one host").
+
+TPU-native design: the whole single-problem solve (``kgmt_solve`` — itself a
+jitted while_loop) is ``vmap``-ed over the problem batch, then jitted with a
+NamedSharding that lays the batch over devices. Each problem runs its own
+while_loop trip count; vmap converts the batch of while_loops into one loop
+that runs until the LAST problem terminates, with per-problem done-masking —
+exactly the dense masked semantics the planner already uses internally, and a
+far better fit for SPMD than the reference's host-driven loop (which could
+never batch problems at all: one KGMT instance owns one tree,
+KGMT.cu:16-77).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cudasbmp_tpu.config import KGMTConfig, Scenario
+from cudasbmp_tpu.geometry.grid import RegionGrid
+from cudasbmp_tpu.planners.kgmt import extract_path, kgmt_solve
+from cudasbmp_tpu.systems.registry import get_system
+
+
+@dataclasses.dataclass
+class MultiQueryResult:
+    solved: np.ndarray  # bool [B]
+    costs: np.ndarray  # f32 [B] (inf where unsolved)
+    tree_sizes: np.ndarray  # i32 [B]
+    iterations: np.ndarray  # i32 [B]
+    paths: np.ndarray  # f32 [B, L, SAMPLE_DIM]
+    path_lengths: np.ndarray  # i32 [B]
+    wall_time_s: float
+    solves_per_sec: float
+
+
+class MultiQueryPlanner:
+    """Plan B problems at once, batch sharded over the ``scenario`` axis."""
+
+    def __init__(self, config: KGMTConfig | None = None, mesh: Mesh | None = None,
+                 system=None):
+        self.config = config or KGMTConfig()
+        self.mesh = mesh
+        self.system = system or get_system(self.config.system)
+        cfg = self.config
+        grid = RegionGrid(width=cfg.width, height=cfg.height, N=cfg.N, n=cfg.n)
+        sys_ = self.system
+
+        def _solve_one(init, goal, obstacles, key):
+            final = kgmt_solve(cfg, sys_, grid, init, goal, obstacles, key)
+            nodes, samples, length = extract_path(cfg, final)
+            return (final.cost_to_goal, final.tree_size, final.itr,
+                    samples, length)
+
+        batched = jax.vmap(_solve_one)
+        if mesh is not None:
+            shard = NamedSharding(mesh, P("scenario"))
+            self._solve = jax.jit(
+                batched,
+                in_shardings=(shard, shard, shard, shard),
+                out_shardings=(shard, shard, shard, shard, shard),
+            )
+        else:
+            self._solve = jax.jit(batched)
+
+    def plan_batch(self, inits: np.ndarray, goals: np.ndarray,
+                   obstacles: np.ndarray, seed: int = 0) -> MultiQueryResult:
+        """inits/goals: [B, SAMPLE_DIM]; obstacles: [B, K, 4] or [K, 4]
+        (shared). B must be divisible by the scenario-axis size."""
+        B = inits.shape[0]
+        if self.mesh is not None:
+            n_shard = self.mesh.shape["scenario"]
+            if B % n_shard != 0:
+                raise ValueError(
+                    f"batch size {B} must be divisible by the scenario-axis "
+                    f"size {n_shard} (pad the batch or change the mesh)"
+                )
+        if obstacles.ndim == 2:
+            obstacles = np.broadcast_to(obstacles, (B,) + obstacles.shape)
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.key(seed), jnp.arange(B)
+        )
+        t0 = time.perf_counter()
+        costs, tree_sizes, iters, samples, lengths = jax.block_until_ready(
+            self._solve(jnp.asarray(inits), jnp.asarray(goals),
+                        jnp.asarray(obstacles), keys)
+        )
+        wall = time.perf_counter() - t0
+        costs = np.asarray(costs)
+        return MultiQueryResult(
+            solved=np.isfinite(costs),
+            costs=costs,
+            tree_sizes=np.asarray(tree_sizes),
+            iterations=np.asarray(iters),
+            paths=np.asarray(samples),
+            path_lengths=np.asarray(lengths),
+            wall_time_s=wall,
+            solves_per_sec=B / wall,
+        )
+
+    def plan_scenarios(self, scenarios: list[Scenario], seed: int = 0
+                       ) -> MultiQueryResult:
+        cfg = self.config
+        inits = np.stack([s.init for s in scenarios])
+        goals = np.stack([s.goal for s in scenarios])
+        obstacles = np.stack(
+            [s.padded_obstacles(cfg.max_obstacles)[0] for s in scenarios]
+        )
+        return self.plan_batch(inits, goals, obstacles, seed=seed)

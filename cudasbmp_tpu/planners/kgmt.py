@@ -145,6 +145,33 @@ def init_state(cfg: KGMTConfig, grid: RegionGrid, init: Array, key: Array) -> KG
     )
 
 
+def _dispatch_rollout(cfg: KGMTConfig, system, x0: Array, controls: Array,
+                      obstacles: Array) -> tuple[Array, Array]:
+    """Pick the rollout implementation per config.rollout_backend: the fused
+    Pallas kernel (TPU, supported systems) or the generic XLA-fused jnp path.
+    Both share exact reference break-semantics (tests/test_pallas.py)."""
+    from cudasbmp_tpu.ops.rollout_pallas import (
+        rollout_bicycle_pallas,
+        supports_system,
+    )
+
+    backend = cfg.rollout_backend
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_pallas = supports_system(system) and (
+        backend == "pallas" or (backend == "auto" and on_tpu)
+    )
+    if use_pallas:
+        return rollout_bicycle_pallas(
+            x0, controls, obstacles,
+            num_disc=cfg.num_disc, width=cfg.width, height=cfg.height,
+            agent_length=system.agent_length,
+            interpret=not on_tpu,
+        )
+    return rollout_batch(
+        system, x0, controls, cfg.num_disc, obstacles, cfg.width, cfg.height
+    )
+
+
 def update_region_scores(
     cfg: KGMTConfig, s: KGMTState
 ) -> tuple[Array, Array]:
@@ -177,15 +204,33 @@ def update_region_scores(
 
 
 def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
-                   goal: Array, s: KGMTState) -> KGMTState:
+                   goal: Array, s: KGMTState, axis_name: str | None = None
+                   ) -> KGMTState:
     """One full planner iteration: phases (a) score, (b) compact, (c) expand,
     (d) commit, (e) goal/termination bookkeeping — the body of the reference's
-    host loop (KGMT.cu:118-292) as one fused device program."""
+    host loop (KGMT.cu:118-292) as one fused device program.
+
+    With ``axis_name`` set (sharded-tree mode, SURVEY.md P7), region
+    statistics are all-reduced over that mesh axis before scoring, so every
+    shard guides its local expansion with the GLOBAL exploration state; tree
+    arrays stay shard-local. The collectives ride ICI (psum of two small
+    histogram pytrees per iteration)."""
     M = cfg.max_tree_size
     R = cfg.rollouts_per_iter
 
     with jax.named_scope("kgmt_scores"):
-        r1_score, r1_threshold = update_region_scores(cfg, s)
+        if axis_name is not None:
+            stats = (s.r1_total, s.r1_valid, s.r1_invalid, s.r1_avail,
+                     s.r2_avail)
+            g = jax.lax.psum(stats, axis_name)
+            s_score = s._replace(
+                r1_total=g[0], r1_valid=g[1], r1_invalid=g[2],
+                r1_avail=(g[3] > 0).astype(jnp.int32),
+                r2_avail=(g[4] > 0).astype(jnp.int32),
+            )
+        else:
+            s_score = s
+        r1_score, r1_threshold = update_region_scores(cfg, s_score)
 
     with jax.named_scope("kgmt_frontier"):
         frontier_idx, frontier_size = compact_indices(s.frontier)
@@ -208,8 +253,8 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
         key_iter = jax.random.fold_in(s.key, s.itr)
         k_ctrl, k_accept = jax.random.split(key_iter)
         controls = system.control_spec.sample(k_ctrl, (R,))
-        x1, valid = rollout_batch(
-            system, x0, controls, cfg.num_disc, obstacles, cfg.width, cfg.height
+        x1, valid = _dispatch_rollout(
+            cfg, system, x0, controls, obstacles
         )
         valid = valid & slot_active
         samples1 = jnp.concatenate([x1, controls], axis=-1)  # [R, SAMPLE_DIM]
@@ -231,7 +276,7 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
         u = jax.random.uniform(k_accept, (R,))
         r1_safe = jnp.maximum(r1, 0)
         r2_safe = jnp.maximum(r2, 0)
-        virgin_r2 = s.r2_avail[r2_safe] == 0  # pre-wave snapshot (deterministic
+        virgin_r2 = s_score.r2_avail[r2_safe] == 0  # pre-wave snapshot (deterministic
         # stand-in for the reference's racy read of concurrently-updated flags)
         accept = valid & ((u <= r1_score[r1_safe]) | virgin_r2)
         # Availability flags flip for every *valid* child (KGMT.cu:401-406).

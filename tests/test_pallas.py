@@ -1,0 +1,68 @@
+"""Pallas fused-rollout kernel parity tests (interpret mode on CPU; the same
+kernel compiles natively on TPU — exercised by bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cudasbmp_tpu.config import Scenario
+from cudasbmp_tpu.ops.rollout import rollout_batch
+from cudasbmp_tpu.ops.rollout_pallas import rollout_bicycle_pallas, supports_system
+from cudasbmp_tpu.systems import KinematicBicycle, Point2D
+
+
+@pytest.mark.parametrize("batch", [64, 1024])
+def test_pallas_matches_jnp_rollout(batch, rng):
+    """Bitwise-level parity (up to float assoc) with the reference-semantics
+    jnp path, for valid AND invalid rollouts."""
+    sys_ = KinematicBicycle()
+    obstacles = jnp.asarray(Scenario.demo().obstacles)
+    x0 = np.zeros((batch, 4), np.float32)
+    x0[:, 0] = rng.uniform(0.5, 19.5, batch)
+    x0[:, 1] = rng.uniform(0.5, 19.5, batch)
+    x0[:, 2] = rng.uniform(-3, 3, batch)
+    x0[:, 3] = rng.uniform(-3, 3, batch)
+    controls = np.zeros((batch, 3), np.float32)
+    controls[:, 0] = rng.uniform(-5, 5, batch)
+    controls[:, 1] = rng.uniform(-np.pi, np.pi, batch)
+    controls[:, 2] = rng.uniform(0.05, 1.05, batch)
+
+    x1_ref, valid_ref = rollout_batch(
+        sys_, jnp.asarray(x0), jnp.asarray(controls), 10, obstacles, 20.0, 20.0
+    )
+    x1_pl, valid_pl = rollout_bicycle_pallas(
+        jnp.asarray(x0), jnp.asarray(controls), obstacles,
+        num_disc=10, width=20.0, height=20.0, interpret=True,
+    )
+    np.testing.assert_array_equal(np.array(valid_ref), np.array(valid_pl))
+    np.testing.assert_allclose(
+        np.array(x1_ref), np.array(x1_pl), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pallas_padding_lanes_are_dropped(rng):
+    """Batch not a multiple of the kernel block: outputs must have exactly
+    batch rows and padding lanes must not leak."""
+    sys_ = KinematicBicycle()
+    obstacles = jnp.asarray(Scenario.demo().obstacles)
+    B = 100
+    x0 = jnp.asarray(rng.uniform(2, 18, (B, 4)).astype(np.float32))
+    controls = jnp.asarray(
+        np.stack([rng.uniform(-5, 5, B), rng.uniform(-1, 1, B),
+                  rng.uniform(0.05, 1.05, B)], axis=-1).astype(np.float32)
+    )
+    x1, valid = rollout_bicycle_pallas(
+        x0, controls, obstacles, num_disc=10, width=20.0, height=20.0,
+        interpret=True,
+    )
+    assert x1.shape == (B, 4)
+    assert valid.shape == (B,)
+    x1_ref, valid_ref = rollout_batch(sys_, x0, controls, 10, obstacles,
+                                      20.0, 20.0)
+    np.testing.assert_array_equal(np.array(valid), np.array(valid_ref))
+
+
+def test_supports_system():
+    assert supports_system(KinematicBicycle())
+    assert not supports_system(Point2D())

@@ -1,0 +1,140 @@
+"""Distributed-mode tests on the 8-virtual-device CPU mesh (SURVEY.md §4.4:
+the TPU-native answer to 'fake backends').
+
+Covers BASELINE.json configs 4 (multi-query batch sharded over one host) and
+the sharded-tree mode with psum'd region statistics, plus Monte-Carlo scenario
+generation."""
+
+import jax
+import numpy as np
+import pytest
+
+from cudasbmp_tpu.config import KGMTConfig, Scenario
+from cudasbmp_tpu.parallel.mesh import device_count, make_planner_mesh
+from cudasbmp_tpu.parallel.monte_carlo import MonteCarloPlanner, random_scenarios
+from cudasbmp_tpu.parallel.multi_query import MultiQueryPlanner
+from cudasbmp_tpu.parallel.sharded_tree import ShardedTreePlanner
+from cudasbmp_tpu.geometry.aabb import point_in_any_obstacle
+
+
+MQ_CONFIG = KGMTConfig(
+    num_iterations=100, max_tree_size=16384, rollouts_per_iter=2048
+)
+
+
+def test_mesh_shapes():
+    assert device_count() == 8
+    mesh = make_planner_mesh()
+    assert mesh.shape == {"scenario": 8, "tree": 1}
+    mesh = make_planner_mesh(n_scenario=2, n_tree=4)
+    assert mesh.shape == {"scenario": 2, "tree": 4}
+    with pytest.raises(ValueError):
+        make_planner_mesh(n_scenario=3, n_tree=3)
+
+
+@pytest.mark.slow
+def test_multi_query_batch_sharded():
+    """16 problems over 8 devices; all demo-like problems must solve and each
+    path must end near its own goal."""
+    mesh = make_planner_mesh()
+    planner = MultiQueryPlanner(MQ_CONFIG, mesh=mesh)
+    B = 16
+    base = Scenario.demo()
+    rng = np.random.default_rng(0)
+    inits = np.tile(base.init, (B, 1)).astype(np.float32)
+    goals = np.tile(base.goal, (B, 1)).astype(np.float32)
+    # vary the goals a little (all in free space near (2,18))
+    goals[:, 0] = rng.uniform(1.0, 3.0, B)
+    goals[:, 1] = rng.uniform(16.5, 18.5, B)
+    obstacles, _ = base.padded_obstacles(MQ_CONFIG.max_obstacles)
+    res = planner.plan_batch(inits, goals, obstacles, seed=3)
+    assert res.solved.mean() > 0.8, res.costs
+    for b in range(B):
+        if not res.solved[b]:
+            continue
+        L = res.path_lengths[b]
+        end = res.paths[b, L - 1]
+        d = np.hypot(end[0] - goals[b, 0], end[1] - goals[b, 1])
+        assert d < MQ_CONFIG.goal_threshold
+
+
+@pytest.mark.slow
+def test_multi_query_matches_unsharded():
+    """Sharding is semantics-preserving: same batch on mesh vs no mesh."""
+    base = Scenario.demo()
+    B = 8
+    inits = np.tile(base.init, (B, 1)).astype(np.float32)
+    goals = np.tile(base.goal, (B, 1)).astype(np.float32)
+    obstacles, _ = base.padded_obstacles(MQ_CONFIG.max_obstacles)
+    r_mesh = MultiQueryPlanner(MQ_CONFIG, mesh=make_planner_mesh()).plan_batch(
+        inits, goals, obstacles, seed=5
+    )
+    r_plain = MultiQueryPlanner(MQ_CONFIG, mesh=None).plan_batch(
+        inits, goals, obstacles, seed=5
+    )
+    np.testing.assert_array_equal(r_mesh.solved, r_plain.solved)
+    np.testing.assert_allclose(r_mesh.costs, r_plain.costs, rtol=1e-6)
+    np.testing.assert_array_equal(r_mesh.tree_sizes, r_plain.tree_sizes)
+
+
+@pytest.mark.slow
+def test_sharded_tree_solves_and_uses_global_stats():
+    mesh = make_planner_mesh(n_scenario=1, n_tree=8)
+    cfg = KGMTConfig(num_iterations=60, max_tree_size=2048,
+                     rollouts_per_iter=512)
+    planner = ShardedTreePlanner(cfg, mesh=mesh)
+    res = planner.plan(Scenario.demo())
+    assert res.solved
+    assert res.cost > 0
+    # logical capacity is 8 * 2048; each shard grew something
+    assert res.total_tree_size > 8
+    assert res.path.shape[1] == 7
+    # end of best path is in the goal region
+    d = np.hypot(res.path[-1, 0] - 2.0, res.path[-1, 1] - 18.0)
+    assert d < cfg.goal_threshold
+
+
+@pytest.mark.slow
+def test_sharded_tree_deterministic():
+    mesh = make_planner_mesh(n_scenario=1, n_tree=8)
+    cfg = KGMTConfig(num_iterations=40, max_tree_size=1024,
+                     rollouts_per_iter=256)
+    r1 = ShardedTreePlanner(cfg, mesh=mesh).plan(Scenario.demo())
+    r2 = ShardedTreePlanner(cfg, mesh=mesh).plan(Scenario.demo())
+    assert r1.cost == r2.cost
+    assert r1.best_shard == r2.best_shard
+
+
+def test_random_scenarios_valid():
+    cfg = KGMTConfig()
+    inits, goals, obstacles = random_scenarios(
+        jax.random.key(0), 16, cfg, num_obstacles=6
+    )
+    assert inits.shape == (16, 7) and goals.shape == (16, 7)
+    assert obstacles.shape == (16, cfg.max_obstacles, 4)
+    import jax.numpy as jnp
+
+    for b in range(16):
+        # starts/goals inside workspace and outside obstacles
+        for p in (inits[b, :2], goals[b, :2]):
+            assert (p > 0).all() and (p < 20.0).all()
+            assert not bool(point_in_any_obstacle(jnp.asarray(p),
+                                                  jnp.asarray(obstacles[b])))
+        # real obstacle boxes are non-degenerate, padding is degenerate
+        real = obstacles[b, :6]
+        assert (real[:, 2:] >= real[:, :2]).all()
+    # deterministic
+    i2, g2, o2 = random_scenarios(jax.random.key(0), 16, cfg, num_obstacles=6)
+    np.testing.assert_array_equal(inits, i2)
+
+
+@pytest.mark.slow
+def test_monte_carlo_sweep():
+    cfg = KGMTConfig(num_iterations=40, max_tree_size=4096,
+                     rollouts_per_iter=512)
+    mc = MonteCarloPlanner(cfg, mesh=make_planner_mesh())
+    summary = mc.run(num_scenarios=16, seed=0, num_obstacles=5)
+    assert summary.num_scenarios == 16
+    assert 0.0 <= summary.solve_rate <= 1.0
+    assert summary.solve_rate > 0.4  # sparse obstacles: most should solve
+    assert summary.solves_per_sec > 0

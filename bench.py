@@ -52,6 +52,18 @@ def measure_prop_throughput(batch: int = BATCH, repeats: int = REPEATS,
     obstacles = jnp.asarray(scenario.obstacles)
 
     def one_wave(key, x0):
+        if backend == "pallas_rng":
+            # fully fused: control sampling inside the kernel (HW PRNG)
+            from cudasbmp_tpu.ops.rollout_pallas import (
+                sample_and_rollout_bicycle_pallas,
+            )
+
+            seed = jax.random.randint(key, (), 0, 2**31 - 1)
+            _, _, valid = sample_and_rollout_bicycle_pallas(
+                seed, x0, obstacles, num_disc=NUM_DISC,
+                width=20.0, height=20.0,
+            )
+            return valid.sum(dtype=jnp.int32)
         controls = system.control_spec.sample(key, (batch,))
         if backend == "pallas":
             _, valid = rollout_bicycle_pallas(
@@ -150,8 +162,10 @@ def main() -> None:
     on_tpu = jax.devices()[0].platform == "tpu"
     thr_jnp = measure_prop_throughput(backend="jnp")
     thr_pallas = measure_prop_throughput(backend="pallas") if on_tpu else None
+    thr_rng = (measure_prop_throughput(backend="pallas_rng")
+               if on_tpu else None)
     best = max(
-        [t for t in (thr_jnp, thr_pallas) if t],
+        [t for t in (thr_jnp, thr_pallas, thr_rng) if t],
         key=lambda t: t["valid_per_sec"],
     )
     tts = measure_time_to_solution()
@@ -169,6 +183,8 @@ def main() -> None:
             "jnp_valid_per_sec": round(thr_jnp["valid_per_sec"], 1),
             "pallas_valid_per_sec": round(thr_pallas["valid_per_sec"], 1)
             if thr_pallas else None,
+            "pallas_rng_valid_per_sec": round(thr_rng["valid_per_sec"], 1)
+            if thr_rng else None,
             "cpu_valid_per_sec": round(cpu, 1) if cpu == cpu else None,
             "time_to_first_solution_s": tts["tts_s"],
             "tts_mean_s": tts["tts_mean_s"],

@@ -125,6 +125,19 @@ def main(argv: list[str] | None = None) -> int:
     p_viz.add_argument("--artifacts", required=True)
     p_viz.add_argument("--out", default="tree.png")
 
+    p_rec = sub.add_parser(
+        "record", help="step-by-step solve with per-iteration dumps (the "
+        "reference's commented-out debug workflow, KGMT.cu:263-291)")
+    _add_config_args(p_rec)
+    p_rec.add_argument("--out-dir", required=True)
+    p_rec.add_argument("--dump-every", type=int, default=1)
+    p_rec.add_argument("--checkpoint-every", type=int, default=None)
+
+    p_prof = sub.add_parser("profile", help="capture a jax.profiler trace of "
+                            "one solve (view in TensorBoard/Perfetto)")
+    _add_config_args(p_prof)
+    p_prof.add_argument("--trace-dir", required=True)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "demo":
@@ -160,6 +173,33 @@ def main(argv: list[str] | None = None) -> int:
 
         out = plot_tree(artifacts_dir=args.artifacts, out_path=args.out)
         print(f"wrote {out}")
+        return 0
+
+    if args.cmd == "record":
+        from cudasbmp_tpu.config import Scenario
+        from cudasbmp_tpu.planners.kgmt import KGMT
+        from cudasbmp_tpu.utils.metrics import summarize_result
+
+        cfg = _config_from_args(args)
+        result = KGMT(cfg).plan_recorded(
+            Scenario.demo(), args.out_dir, dump_every=args.dump_every,
+            checkpoint_every=args.checkpoint_every,
+        )
+        print(json.dumps(summarize_result(result), indent=2))
+        return 0 if result.solved else 1
+
+    if args.cmd == "profile":
+        from cudasbmp_tpu.config import Scenario
+        from cudasbmp_tpu.planners.kgmt import KGMT
+        from cudasbmp_tpu.utils.profiling import trace_to
+
+        cfg = _config_from_args(args)
+        planner = KGMT(cfg)
+        planner.plan(Scenario.demo())  # compile outside the trace
+        with trace_to(args.trace_dir):
+            result = planner.plan(Scenario.demo())
+        print(f"trace written to {args.trace_dir}; "
+              f"solved={result.solved} wall={result.wall_time_s:.3f}s")
         return 0
 
     return 2

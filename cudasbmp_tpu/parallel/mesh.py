@@ -36,7 +36,12 @@ def make_planner_mesh(n_scenario: int | None = None, n_tree: int = 1,
         raise ValueError(
             f"mesh {n_scenario}x{n_tree} != device count {n_dev}"
         )
-    return jax.make_mesh((n_scenario, n_tree), ("scenario", "tree"))
+    # Auto axis types: let XLA propagate shardings (the planner's scatters
+    # have no natural explicit annotation; Explicit mode would demand one per
+    # .at[].set site).
+    auto = (jax.sharding.AxisType.Auto,) * 2
+    return jax.make_mesh((n_scenario, n_tree), ("scenario", "tree"),
+                         axis_types=auto)
 
 
 def maybe_initialize_distributed() -> None:

@@ -487,6 +487,60 @@ class KGMT(Planner):
             metrics=metrics,
         )
 
+    def plan_recorded(self, scenario: Scenario, out_dir: str,
+                      seed: int | None = None, dump_every: int = 1,
+                      checkpoint_every: int | None = None) -> KGMTResult:
+        """Step-by-step solve with per-iteration artifact dumps — the debug
+        workflow the reference left commented out (KGMT.cu:263-291, feeding
+        visualizationKGMT_Steps.m): iterations run one jitted step at a time
+        on the host loop, dumping ``samples<i>.csv`` / ``parents<i>.csv`` /
+        ``R1Scores<i>.csv``-style files under ``out_dir`` and (optionally)
+        full checkpoints every ``checkpoint_every`` iterations. Slower than
+        plan() (one dispatch per iteration) — for analysis, not production."""
+        import pathlib
+
+        from cudasbmp_tpu.io.checkpoint import save_checkpoint
+        from cudasbmp_tpu.io.csv import write_csv
+
+        cfg = self.config
+        out = pathlib.Path(out_dir)
+        for sub in ("Samples", "Parents", "R1Scores", "R1Avail", "R1", "G"):
+            (out / sub).mkdir(parents=True, exist_ok=True)
+        obstacles, _ = scenario.padded_obstacles(cfg.max_obstacles)
+        obstacles = jnp.asarray(obstacles)
+        goal = jnp.asarray(scenario.goal)
+        key = jax.random.key(cfg.seed if seed is None else seed)
+        state = init_state(cfg, self.grid, jnp.asarray(scenario.init), key)
+        step = jax.jit(
+            lambda s: kgmt_iteration(cfg, self.system, self.grid, obstacles,
+                                     goal, s)
+        )
+        t0 = time.perf_counter()
+        for i in range(cfg.num_iterations):
+            state = step(state)
+            if i % dump_every == 0:
+                it = i + 1
+                write_csv(np.asarray(state.tree_samples),
+                          out / "Samples" / f"samples{it}.csv", SAMPLE_DIM)
+                write_csv(np.asarray(state.tree_parent),
+                          out / "Parents" / f"parents{it}.csv")
+                write_csv(np.asarray(state.r1_score),
+                          out / "R1Scores" / f"R1Scores{it}.csv")
+                write_csv(np.asarray(state.r1_avail),
+                          out / "R1Avail" / f"R1Avail{it}.csv")
+                write_csv(np.asarray(state.r1_total), out / "R1" / f"R1{it}.csv")
+                write_csv(np.asarray(state.frontier).astype(np.int32),
+                          out / "G" / f"G{it}.csv")
+            if checkpoint_every and (i + 1) % checkpoint_every == 0:
+                save_checkpoint(state, out / f"checkpoint_{i + 1}.npz")
+            if bool(np.isfinite(np.asarray(state.cost_to_goal))) or \
+               int(state.tree_size) >= cfg.max_tree_size:
+                break
+        wall = time.perf_counter() - t0
+        nodes, samples, length = jax.jit(partial(extract_path, cfg))(state)
+        return self._build_result(jax.block_until_ready(state), nodes, samples,
+                                  length, wall)
+
     def generate_random_tree(self, scenario: Scenario, num_rollouts: int):
         """Unguided random-tree probe (Planner.cuh:10) — delegates to the
         NaivePlanner equivalent for interface completeness."""

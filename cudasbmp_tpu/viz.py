@@ -37,7 +37,9 @@ def _integrate_edge(system, x0: np.ndarray, control: np.ndarray, num_disc: int
 def plot_tree(result=None, artifacts_dir: str | os.PathLike | None = None,
               config: KGMTConfig | None = None, out_path: str = "tree.png",
               obstacles: np.ndarray | None = None, max_edges: int = 2000,
-              show_grid: bool = True) -> str:
+              show_grid: bool = True,
+              _samples_path: os.PathLike | None = None,
+              _parents_path: os.PathLike | None = None) -> str:
     """Render the search tree over the workspace; returns the written path."""
     import matplotlib
 
@@ -53,9 +55,13 @@ def plot_tree(result=None, artifacts_dir: str | os.PathLike | None = None,
         tree_size = result.tree_size
         path_nodes = result.path_nodes
     else:
-        d = Path(artifacts_dir)
-        samples = np.loadtxt(d / "samples.csv", delimiter=",").reshape(-1, SAMPLE_DIM)
-        parents = np.loadtxt(d / "parentRelations.csv", delimiter=",").astype(int)
+        if _samples_path is not None:
+            sp, pp = Path(_samples_path), Path(_parents_path)
+        else:
+            d = Path(artifacts_dir)
+            sp, pp = d / "samples.csv", d / "parentRelations.csv"
+        samples = np.loadtxt(sp, delimiter=",").reshape(-1, SAMPLE_DIM)
+        parents = np.loadtxt(pp, delimiter=",").astype(int)
         tree_size = int((parents >= 0).sum()) + 1
         path_nodes = None
 
@@ -99,6 +105,33 @@ def plot_tree(result=None, artifacts_dir: str | os.PathLike | None = None,
     fig.savefig(out_path, dpi=130, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def plot_steps(record_dir: str | os.PathLike, config: KGMTConfig | None = None,
+               obstacles: np.ndarray | None = None,
+               out_dir: str | os.PathLike = "frames",
+               every: int = 1, max_edges: int = 800) -> list[str]:
+    """Per-iteration tree-growth frames from a plan_recorded dump — the
+    visualizationKGMT_Steps.m workflow (reads Data/Samples/samples<i>.csv
+    style per-iteration files). Returns the written frame paths."""
+    rec = Path(record_dir)
+    outd = Path(out_dir)
+    outd.mkdir(parents=True, exist_ok=True)
+    frames = []
+    sample_files = sorted(
+        (rec / "Samples").glob("samples*.csv"),
+        key=lambda p: int(p.stem[len("samples"):]),
+    )
+    for f in sample_files[::every]:
+        it = int(f.stem[len("samples"):])
+        frame = plot_tree(
+            artifacts_dir=None, config=config, obstacles=obstacles,
+            out_path=str(outd / f"tree_{it:04d}.png"), max_edges=max_edges,
+            _samples_path=f,
+            _parents_path=rec / "Parents" / f"parents{it}.csv",
+        )
+        frames.append(frame)
+    return frames
 
 
 def plot_metrics(metrics: dict, out_path: str = "metrics.png") -> str:

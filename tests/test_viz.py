@@ -27,3 +27,17 @@ def test_plot_metrics(small_config, demo_scenario, tmp_path):
     result = KGMT(small_config).plan(demo_scenario)
     out = plot_metrics(result.metrics, out_path=str(tmp_path / "m.png"))
     assert Path(out).stat().st_size > 5_000
+
+
+def test_plot_steps_frames(tmp_path):
+    from cudasbmp_tpu.config import KGMTConfig, Scenario
+    from cudasbmp_tpu.viz import plot_steps
+
+    cfg = KGMTConfig(num_iterations=6, max_tree_size=2048,
+                     rollouts_per_iter=512)
+    KGMT(cfg).plan_recorded(Scenario.demo(), tmp_path / "rec", dump_every=2)
+    frames = plot_steps(tmp_path / "rec", config=cfg,
+                        obstacles=Scenario.demo().obstacles,
+                        out_dir=tmp_path / "frames", max_edges=50)
+    assert len(frames) >= 1
+    assert Path(frames[0]).exists()

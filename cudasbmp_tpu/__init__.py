@@ -19,3 +19,16 @@ from cudasbmp_tpu.planners.kgmt import KGMT, KGMTResult
 __version__ = "0.1.0"
 
 __all__ = ["KGMTConfig", "Scenario", "KGMT", "KGMTResult", "__version__"]
+
+
+def __getattr__(name):
+    # lazy heavy extras: refinement / shortcutting stages
+    if name == "refine_path":
+        from cudasbmp_tpu.refine import refine_path
+
+        return refine_path
+    if name == "shortcut_path":
+        from cudasbmp_tpu.shortcut import shortcut_path
+
+        return shortcut_path
+    raise AttributeError(name)

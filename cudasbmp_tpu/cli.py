@@ -77,6 +77,14 @@ def _run_plan(args: argparse.Namespace, scenario) -> int:
     result = planner.plan(scenario)
     print(f"time inside KGMT is {result.wall_time_s}")  # KGMT.cu:295 parity
     print(f"Iteration {result.iterations}, Tree size {result.tree_size}")
+    if getattr(args, "shortcut", False) and result.solved:
+        from cudasbmp_tpu.shortcut import shortcut_path
+
+        out = shortcut_path(planner.system, cfg, result.path, scenario.goal,
+                            scenario.obstacles)
+        print(f"shortcut: cost {out['cost_before']:.3f} -> "
+              f"{out['cost_after']:.3f} ({len(result.path) - 1} -> "
+              f"{out['n_edges']} edges)")
     summary = summarize_result(result)
     print(json.dumps(summary, indent=2))
     if args.verbose:
@@ -104,6 +112,9 @@ def main(argv: list[str] | None = None) -> int:
     p_demo.add_argument("--out-dir", help="dump artifact CSVs here")
     p_demo.add_argument("--plot", action="store_true")
     p_demo.add_argument("--verbose", action="store_true")
+    p_demo.add_argument("--shortcut", action="store_true",
+                        help="post-process the solution with kinodynamic "
+                        "shortcutting")
 
     p_plan = sub.add_parser("plan", help="plan a configurations/ scenario")
     _add_config_args(p_plan)
@@ -112,6 +123,9 @@ def main(argv: list[str] | None = None) -> int:
     p_plan.add_argument("--out-dir", help="dump artifact CSVs here")
     p_plan.add_argument("--plot", action="store_true")
     p_plan.add_argument("--verbose", action="store_true")
+    p_plan.add_argument("--shortcut", action="store_true",
+                        help="post-process the solution with kinodynamic "
+                        "shortcutting")
 
     p_probe = sub.add_parser("probe", help="raw propagation-throughput probes "
                              "(Naive/CostProp planner analogs)")

@@ -152,6 +152,21 @@ def main(argv: list[str] | None = None) -> int:
     _add_config_args(p_prof)
     p_prof.add_argument("--trace-dir", required=True)
 
+    p_multi = sub.add_parser("multi", help="multi-query batch: B init/goal "
+                             "pairs solved simultaneously, sharded over all "
+                             "devices")
+    _add_config_args(p_multi)
+    p_multi.add_argument("--batch", type=int, default=64)
+    p_multi.add_argument("--goal-jitter", type=float, default=1.0,
+                         help="uniform jitter applied to the demo goal per "
+                         "problem")
+
+    p_sweep = sub.add_parser("sweep", help="Monte-Carlo sweep over random "
+                             "obstacle scenarios, data-parallel over devices")
+    _add_config_args(p_sweep)
+    p_sweep.add_argument("--scenarios", type=int, default=64)
+    p_sweep.add_argument("--obstacles", type=int, default=8)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "demo":
@@ -187,6 +202,51 @@ def main(argv: list[str] | None = None) -> int:
 
         out = plot_tree(artifacts_dir=args.artifacts, out_path=args.out)
         print(f"wrote {out}")
+        return 0
+
+    if args.cmd == "multi":
+        import numpy as np
+
+        from cudasbmp_tpu.config import Scenario
+        from cudasbmp_tpu.parallel import MultiQueryPlanner, make_planner_mesh
+
+        cfg = _config_from_args(args)
+        base = Scenario.demo()
+        B = args.batch
+        rng = np.random.default_rng(cfg.seed)
+        inits = np.tile(base.init, (B, 1)).astype(np.float32)
+        goals = np.tile(base.goal, (B, 1)).astype(np.float32)
+        goals[:, :2] += rng.uniform(-args.goal_jitter, args.goal_jitter,
+                                    (B, 2)).astype(np.float32)
+        obstacles, _ = base.padded_obstacles(cfg.max_obstacles)
+        planner = MultiQueryPlanner(cfg, mesh=make_planner_mesh())
+        res = planner.plan_batch(inits, goals, obstacles, seed=cfg.seed)
+        print(json.dumps({
+            "batch": B,
+            "solved": int(res.solved.sum()),
+            "solve_rate": float(res.solved.mean()),
+            "mean_cost": float(res.costs[res.solved].mean())
+            if res.solved.any() else None,
+            "wall_time_s": res.wall_time_s,
+            "solves_per_sec": res.solves_per_sec,
+        }, indent=2))
+        return 0
+
+    if args.cmd == "sweep":
+        from cudasbmp_tpu.parallel import MonteCarloPlanner, make_planner_mesh
+
+        cfg = _config_from_args(args)
+        mc = MonteCarloPlanner(cfg, mesh=make_planner_mesh())
+        s = mc.run(num_scenarios=args.scenarios, seed=cfg.seed,
+                   num_obstacles=args.obstacles)
+        print(json.dumps({
+            "scenarios": s.num_scenarios,
+            "solve_rate": s.solve_rate,
+            "mean_cost_solved": s.mean_cost_solved,
+            "mean_tree_size": s.mean_tree_size,
+            "wall_time_s": s.wall_time_s,
+            "solves_per_sec": s.solves_per_sec,
+        }, indent=2))
         return 0
 
     if args.cmd == "record":

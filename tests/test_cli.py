@@ -71,3 +71,20 @@ def test_cli_probe():
     assert "Tree size: 16384" in r.stdout
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     assert json.loads(line)["rollouts_per_sec"] > 0
+
+
+@pytest.mark.slow
+def test_cli_multi():
+    r = run_cli("multi", "--batch", "8", "--max-tree-size", "16384",
+                "--rollouts-per-iter", "2048")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"solve_rate"' in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_sweep():
+    r = run_cli("sweep", "--scenarios", "8", "--obstacles", "5",
+                "--max-tree-size", "4096", "--rollouts-per-iter", "512",
+                "--num-iterations", "40")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"solves_per_sec"' in r.stdout

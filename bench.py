@@ -31,10 +31,13 @@ CPU_CACHE = REPO / ".bench_cpu_baseline.json"
 # small enough that a CPU baseline run finishes quickly.
 BATCH = 1 << 17
 NUM_DISC = 10
+# Repeats are sized so device compute (~0.5s+) dominates the one host<->device
+# round trip per timed call (the axon relay adds ~25ms latency per dispatch).
 REPEATS = 20
+REPEATS_BY_BACKEND = {"jnp": 200, "pallas": 2000, "pallas_rng": 2000}
 
 
-def measure_prop_throughput(batch: int = BATCH, repeats: int = REPEATS,
+def measure_prop_throughput(batch: int = BATCH, repeats: int | None = None,
                             backend: str = "jnp") -> dict:
     """Valid propagations/sec on the current default device.
 
@@ -47,6 +50,11 @@ def measure_prop_throughput(batch: int = BATCH, repeats: int = REPEATS,
     from cudasbmp_tpu.ops.rollout_pallas import rollout_bicycle_pallas
     from cudasbmp_tpu.systems.registry import get_system
 
+    import jax
+
+    if repeats is None:
+        on_tpu = jax.devices()[0].platform == "tpu"
+        repeats = REPEATS_BY_BACKEND.get(backend, REPEATS) if on_tpu else REPEATS
     system = get_system("bicycle")
     scenario = Scenario.demo()
     obstacles = jnp.asarray(scenario.obstacles)

@@ -27,7 +27,7 @@ def validate_state(state: KGMTState, cfg: KGMTConfig) -> dict:
     parents = np.asarray(state.tree_parent)
     costs = np.asarray(state.costs)
     samples = np.asarray(state.tree_samples)
-    frontier = np.asarray(state.frontier)
+    frontier_lo = int(state.frontier_lo)
 
     def check(cond: bool, msg: str) -> None:
         if not cond:
@@ -46,7 +46,7 @@ def validate_state(state: KGMTState, cfg: KGMTConfig) -> dict:
               "cost[child] != cost[parent] + duration")
     # unused slots untouched
     check((parents[n:] == -1).all(), "parent set beyond tree_size")
-    check(not frontier[n:].any(), "frontier bit beyond tree_size")
+    check(0 <= frontier_lo <= n, "frontier range outside tree")
     # committed samples inside the workspace (valid rollouts only are
     # committed; bounds are exclusive)
     xy = samples[1:n, :2]

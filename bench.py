@@ -38,10 +38,11 @@ REPEATS_BY_BACKEND = {"jnp": 200, "pallas": 2000, "pallas_rng": 2000}
 
 
 def measure_prop_throughput(batch: int = BATCH, repeats: int | None = None,
-                            backend: str = "jnp") -> dict:
+                            backend: str = "jnp", dense: bool = False) -> dict:
     """Valid propagations/sec on the current default device.
 
-    backend: 'jnp' (XLA-fused generic path) or 'pallas' (fused kernel)."""
+    backend: 'jnp' (XLA-fused generic path) or 'pallas' (fused kernel).
+    dense=True swaps in the 24-obstacle stress field (BASELINE config 3)."""
     import jax
     import jax.numpy as jnp
 
@@ -56,7 +57,7 @@ def measure_prop_throughput(batch: int = BATCH, repeats: int | None = None,
         on_tpu = jax.devices()[0].platform == "tpu"
         repeats = REPEATS_BY_BACKEND.get(backend, REPEATS) if on_tpu else REPEATS
     system = get_system("bicycle")
-    scenario = Scenario.demo()
+    scenario = Scenario.dense(24) if dense else Scenario.demo()
     obstacles = jnp.asarray(scenario.obstacles)
 
     def one_wave(key, x0):
@@ -119,12 +120,12 @@ def measure_prop_throughput(batch: int = BATCH, repeats: int | None = None,
     }
 
 
-def measure_time_to_solution() -> dict:
+def measure_time_to_solution(rollout_backend: str = "auto") -> dict:
     """Wall time to first solution on the reference demo workload."""
     from cudasbmp_tpu.config import KGMTConfig, Scenario
     from cudasbmp_tpu.planners.kgmt import KGMT
 
-    planner = KGMT(KGMTConfig())
+    planner = KGMT(KGMTConfig(rollout_backend=rollout_backend))
     # compile + warm the chip once (excluded, like the reference's in-plan
     # clock which also excludes CUDA compile)
     planner.plan(Scenario.demo())
@@ -137,6 +138,32 @@ def measure_time_to_solution() -> dict:
         "tts_mean_s": (sum(r.wall_time_s for r in solved) / len(solved))
         if solved else None,
         "cost": min(r.cost for r in solved) if solved else None,
+    }
+
+
+def measure_multi_query(batch: int = 256) -> dict:
+    """BASELINE.json config 4: 256 init/goal pairs planned simultaneously on
+    one chip (vmapped whole-solve). Reports solves/sec."""
+    import numpy as np
+
+    from cudasbmp_tpu.config import KGMTConfig, Scenario
+    from cudasbmp_tpu.parallel.multi_query import MultiQueryPlanner
+
+    # smaller per-problem capacity: 256 trees x 30k x 7 floats would be fine
+    # for HBM but needlessly slows the wave; 8k is ample for the demo task
+    cfg = KGMTConfig(max_tree_size=8192, rollouts_per_iter=2048)
+    planner = MultiQueryPlanner(cfg)
+    sc = Scenario.demo()
+    inits = np.tile(sc.init, (batch, 1))
+    goals = np.tile(sc.goal, (batch, 1))
+    obstacles, _ = sc.padded_obstacles(cfg.max_obstacles)
+    planner.plan_batch(inits, goals, obstacles, seed=7)  # warmup/compile
+    res = planner.plan_batch(inits, goals, obstacles, seed=8)
+    return {
+        "batch": batch,
+        "solve_rate": float(res.solved.mean()),
+        "solves_per_sec": res.solves_per_sec,
+        "wall_time_s": res.wall_time_s,
     }
 
 
@@ -171,9 +198,22 @@ def cpu_baseline() -> float:
     return float("nan")
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first-ever compile over the axon
+    relay costs minutes; cached reruns (e.g. the driver's end-of-round bench)
+    skip straight to execution."""
+    import jax
+
+    cache_dir = REPO / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main() -> None:
     import jax
 
+    _enable_compilation_cache()
     on_tpu = jax.devices()[0].platform == "tpu"
     thr_jnp = measure_prop_throughput(backend="jnp")
     thr_pallas = measure_prop_throughput(backend="pallas") if on_tpu else None
@@ -184,6 +224,23 @@ def main() -> None:
         key=lambda t: t["valid_per_sec"],
     )
     tts = measure_time_to_solution()
+    if on_tpu:
+        # the in-kernel HW-PRNG backend trims the per-iteration threefry
+        # control sampling; report whichever backend solves faster
+        tts_rng = measure_time_to_solution("pallas_rng")
+        if tts_rng["tts_s"] is not None and (
+            tts["tts_s"] is None or tts_rng["tts_s"] < tts["tts_s"]
+        ):
+            tts = tts_rng
+    try:
+        mq = measure_multi_query() if on_tpu else None
+    except Exception:
+        mq = None
+    try:
+        thr_dense = (measure_prop_throughput(backend="pallas_rng", dense=True)
+                     if on_tpu else None)
+    except Exception:
+        thr_dense = None
     cpu = cpu_baseline()
     value = best["valid_per_sec"]
     target = 10.0 * cpu if cpu == cpu else float("nan")  # >=10x CPU baseline
@@ -205,6 +262,9 @@ def main() -> None:
             "tts_mean_s": tts["tts_mean_s"],
             "solve_rate": tts["solve_rate"],
             "solution_cost": tts["cost"],
+            "multi_query_256": mq,
+            "dense24_valid_per_sec": round(thr_dense["valid_per_sec"], 1)
+            if thr_dense else None,
         },
     }
     print(json.dumps(result))

@@ -67,7 +67,10 @@ class KGMTConfig:
     max_obstacles: int = 32
     # Rollout implementation: 'auto' uses the fused Pallas kernel on TPU for
     # supported systems and the XLA-fused jnp path elsewhere; 'pallas'/'jnp'
-    # force one (pallas on CPU runs in interpret mode — tests only).
+    # force one (pallas on CPU runs in interpret mode — tests only);
+    # 'pallas_rng' additionally moves control sampling inside the kernel via
+    # the TPU hardware PRNG (fastest; deterministic per seed but a different
+    # stream than the threefry backends; degrades to 'pallas' off-TPU).
     rollout_backend: str = "auto"
 
     @property
@@ -150,6 +153,34 @@ class Scenario:
         goal = np.zeros(SAMPLE_DIM, np.float32)
         goal[0], goal[1] = 2.0, 18.0
         return cls(init=init, goal=goal, obstacles=default_obstacles())
+
+    @classmethod
+    def dense(cls, num_obstacles: int = 24, seed: int = 0) -> "Scenario":
+        """Dense-obstacle stress workload (BASELINE.json config 3): a jittered
+        grid of AABBs filling the workspace with a guaranteed-free border and
+        corridors, start (1,1) -> goal (19,19). Stresses the fused
+        collision/occupancy path (the per-step obstacle loop)."""
+        rng = np.random.default_rng(seed)
+        side = int(np.ceil(np.sqrt(num_obstacles)))
+        boxes = []
+        # lay obstacles on a side x side grid over [2, 18]^2, jittered, sized
+        # to leave ~1-unit corridors between neighbors
+        pitch = 16.0 / side
+        for i in range(side):
+            for j in range(side):
+                if len(boxes) >= num_obstacles:
+                    break
+                cx = 2.0 + (i + 0.5) * pitch + rng.uniform(-0.15, 0.15) * pitch
+                cy = 2.0 + (j + 0.5) * pitch + rng.uniform(-0.15, 0.15) * pitch
+                w = rng.uniform(0.35, 0.6) * pitch
+                h = rng.uniform(0.35, 0.6) * pitch
+                boxes.append([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2])
+        init = np.zeros(SAMPLE_DIM, np.float32)
+        init[0], init[1] = 1.0, 1.0
+        goal = np.zeros(SAMPLE_DIM, np.float32)
+        goal[0], goal[1] = 19.0, 19.0
+        return cls(init=init, goal=goal,
+                   obstacles=np.asarray(boxes, np.float32))
 
     def padded_obstacles(self, max_obstacles: int) -> tuple[np.ndarray, np.ndarray]:
         """Pad the obstacle set to a static shape; returns (boxes, valid_mask).

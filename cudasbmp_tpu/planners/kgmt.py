@@ -164,7 +164,8 @@ def _dispatch_rollout(cfg: KGMTConfig, system, x0: Array, controls: Array,
     backend = cfg.rollout_backend
     on_tpu = jax.devices()[0].platform == "tpu"
     use_pallas = supports_system(system) and (
-        backend == "pallas" or (backend == "auto" and on_tpu)
+        backend in ("pallas", "pallas_rng")
+        or (backend == "auto" and on_tpu)
     )
     if use_pallas:
         return rollout_bicycle_pallas(
@@ -176,6 +177,41 @@ def _dispatch_rollout(cfg: KGMTConfig, system, x0: Array, controls: Array,
     return rollout_batch(
         system, x0, controls, cfg.num_disc, obstacles, cfg.width, cfg.height
     )
+
+
+def _expand_rollout(cfg: KGMTConfig, system, key: Array, x0: Array,
+                    obstacles: Array) -> tuple[Array, Array, Array]:
+    """Sample one control per rollout slot and propagate: the planner analog
+    of propagateG's per-thread curand draw + propagateAndCheck call
+    (KGMT.cu:386-389). Returns (x1, controls, valid).
+
+    With rollout_backend='pallas_rng' on TPU, control sampling moves INSIDE
+    the fused kernel (TPU hardware PRNG seeded from ``key``): same uniform
+    control distribution, different — still fully deterministic — stream
+    than jax.random, and one less threefry pass per iteration. Off-TPU this
+    backend degrades to external threefry controls + the interpreted kernel
+    (the HW PRNG has no CPU lowering), keeping tests runnable.
+    """
+    from cudasbmp_tpu.ops.rollout_pallas import (
+        sample_and_rollout_bicycle_pallas,
+        supports_system,
+    )
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if (cfg.rollout_backend == "pallas_rng" and on_tpu
+            and supports_system(system)):
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+        spec = system.control_spec
+        x1, controls, valid = sample_and_rollout_bicycle_pallas(
+            seed, x0, obstacles,
+            num_disc=cfg.num_disc, width=cfg.width, height=cfg.height,
+            agent_length=system.agent_length,
+            control_bounds=tuple(zip(spec.lo, spec.hi)),
+        )
+        return x1, controls, valid
+    controls = system.control_spec.sample(key, (x0.shape[0],))
+    x1, valid = _dispatch_rollout(cfg, system, x0, controls, obstacles)
+    return x1, controls, valid
 
 
 def frontier_mask(state: KGMTState, max_tree_size: int) -> Array:
@@ -265,10 +301,8 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
 
         key_iter = jax.random.fold_in(s.key, s.itr)
         k_ctrl, k_accept = jax.random.split(key_iter)
-        controls = system.control_spec.sample(k_ctrl, (R,))
-        x1, valid = _dispatch_rollout(
-            cfg, system, x0, controls, obstacles
-        )
+        x1, controls, valid = _expand_rollout(cfg, system, k_ctrl, x0,
+                                              obstacles)
         valid = valid & slot_active
         samples1 = jnp.concatenate([x1, controls], axis=-1)  # [R, SAMPLE_DIM]
 

@@ -110,6 +110,37 @@ def test_configs_scenario(small_config):
     assert result.solved
 
 
+def test_dense_obstacle_scenario_solves(small_config):
+    """BASELINE.json config 3: dense jittered-grid obstacle field with a fine
+    region grid; the path must thread corridors and stay collision-free."""
+    sc = Scenario.dense(num_obstacles=24)
+    cfg = small_config.replace(N=32, n=4, num_iterations=200)
+    result = KGMT(cfg).plan(sc)
+    assert result.solved
+    # start/goal as requested
+    np.testing.assert_allclose(result.path[0][:2], [1.0, 1.0], atol=1e-6)
+    assert np.hypot(result.path[-1][0] - 19.0,
+                    result.path[-1][1] - 19.0) < cfg.goal_threshold
+    # no committed sample inside any obstacle
+    n = result.tree_size
+    xy = np.asarray(result.state.tree_samples)[1:n, :2]
+    for (xmin, ymin, xmax, ymax) in sc.obstacles:
+        inside = ((xy[:, 0] > xmin) & (xy[:, 0] < xmax)
+                  & (xy[:, 1] > ymin) & (xy[:, 1] < ymax))
+        assert not inside.any()
+
+
+def test_pallas_rng_backend_degrades_off_tpu(small_config, demo_scenario):
+    """rollout_backend='pallas_rng' has no CPU lowering for the TPU hardware
+    PRNG; off-TPU it must degrade to external threefry controls + the
+    interpreted kernel and still solve (the TPU path is exercised by
+    bench.py on the real chip)."""
+    cfg = small_config.replace(rollout_backend="pallas_rng",
+                               rollouts_per_iter=1024)
+    result = KGMT(cfg).plan(demo_scenario)
+    assert result.solved
+
+
 def test_all_valid_samples_inside_workspace(solved):
     planner, result = solved
     state = result.state

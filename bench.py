@@ -149,9 +149,10 @@ def measure_multi_query(batch: int = 256) -> dict:
     from cudasbmp_tpu.config import KGMTConfig, Scenario
     from cudasbmp_tpu.parallel.multi_query import MultiQueryPlanner
 
-    # smaller per-problem capacity: 256 trees x 30k x 7 floats would be fine
-    # for HBM but needlessly slows the wave; 8k is ample for the demo task
-    cfg = KGMTConfig(max_tree_size=8192, rollouts_per_iter=2048)
+    # per-problem capacity must leave room to reach the goal at this wave
+    # width: at 2048 rollouts/iter the demo needs ~18 waves and commits a few
+    # hundred nodes per wave, so 16k is safe (8k fills before solving)
+    cfg = KGMTConfig(max_tree_size=16384, rollouts_per_iter=2048)
     planner = MultiQueryPlanner(cfg)
     sc = Scenario.demo()
     inits = np.tile(sc.init, (batch, 1))
@@ -199,9 +200,9 @@ def cpu_baseline() -> float:
 
 
 def _enable_compilation_cache() -> None:
-    """Persistent XLA compilation cache: first-ever compile over the axon
-    relay costs minutes; cached reruns (e.g. the driver's end-of-round bench)
-    skip straight to execution."""
+    """Persistent XLA compilation cache. Harmless no-op for backends whose
+    executables don't serialize (the axon relay stores nothing — measured);
+    still saves minutes on CPU reruns."""
     import jax
 
     cache_dir = REPO / ".jax_cache"
@@ -211,36 +212,52 @@ def _enable_compilation_cache() -> None:
 
 
 def main() -> None:
+    """Deadline-aware: compiles over the axon relay cost MINUTES per program
+    (measured ~150 s for a trivial jit on a busy relay), so phases run in
+    priority order and optional ones are skipped once the budget
+    (BENCH_BUDGET_S, default 1200 s) is spent. The headline JSON line always
+    prints."""
     import jax
 
     _enable_compilation_cache()
+    deadline = time.perf_counter() + float(
+        os.environ.get("BENCH_BUDGET_S", "1200")
+    )
+
+    def have_time(reserve_s: float = 240.0) -> bool:
+        return time.perf_counter() < deadline - reserve_s
+
+    def maybe(fn, *a, required=False, **kw):
+        if not required and not have_time():
+            return None
+        try:
+            return fn(*a, **kw)
+        except Exception:
+            if required:
+                raise
+            return None
+
     on_tpu = jax.devices()[0].platform == "tpu"
-    thr_jnp = measure_prop_throughput(backend="jnp")
-    thr_pallas = measure_prop_throughput(backend="pallas") if on_tpu else None
-    thr_rng = (measure_prop_throughput(backend="pallas_rng")
-               if on_tpu else None)
+    # headline first: the fastest backend on this platform
+    if on_tpu:
+        thr_rng = maybe(measure_prop_throughput, backend="pallas_rng",
+                        required=True)
+        thr_pallas = maybe(measure_prop_throughput, backend="pallas")
+        thr_jnp = maybe(measure_prop_throughput, backend="jnp")
+    else:
+        thr_jnp = maybe(measure_prop_throughput, backend="jnp", required=True)
+        thr_rng = thr_pallas = None
     best = max(
         [t for t in (thr_jnp, thr_pallas, thr_rng) if t],
         key=lambda t: t["valid_per_sec"],
     )
-    tts = measure_time_to_solution()
-    if on_tpu:
-        # the in-kernel HW-PRNG backend trims the per-iteration threefry
-        # control sampling; report whichever backend solves faster
-        tts_rng = measure_time_to_solution("pallas_rng")
-        if tts_rng["tts_s"] is not None and (
-            tts["tts_s"] is None or tts_rng["tts_s"] < tts["tts_s"]
-        ):
-            tts = tts_rng
-    try:
-        mq = measure_multi_query() if on_tpu else None
-    except Exception:
-        mq = None
-    try:
-        thr_dense = (measure_prop_throughput(backend="pallas_rng", dense=True)
-                     if on_tpu else None)
-    except Exception:
-        thr_dense = None
+    tts = maybe(measure_time_to_solution,
+                "pallas_rng" if on_tpu else "auto") or {
+        "tts_s": None, "tts_mean_s": None, "solve_rate": None, "cost": None,
+    }
+    mq = maybe(measure_multi_query) if on_tpu else None
+    thr_dense = (maybe(measure_prop_throughput, backend="pallas_rng",
+                       dense=True) if on_tpu else None)
     cpu = cpu_baseline()
     value = best["valid_per_sec"]
     target = 10.0 * cpu if cpu == cpu else float("nan")  # >=10x CPU baseline
@@ -252,7 +269,8 @@ def main() -> None:
         "extra": {
             "platform": best["platform"],
             "total_rollouts_per_sec": round(best["rollouts_per_sec"], 1),
-            "jnp_valid_per_sec": round(thr_jnp["valid_per_sec"], 1),
+            "jnp_valid_per_sec": round(thr_jnp["valid_per_sec"], 1)
+            if thr_jnp else None,
             "pallas_valid_per_sec": round(thr_pallas["valid_per_sec"], 1)
             if thr_pallas else None,
             "pallas_rng_valid_per_sec": round(thr_rng["valid_per_sec"], 1)

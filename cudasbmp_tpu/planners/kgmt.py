@@ -157,7 +157,7 @@ def _dispatch_rollout(cfg: KGMTConfig, system, x0: Array, controls: Array,
     Pallas kernel (TPU, supported systems) or the generic XLA-fused jnp path.
     Both share exact reference break-semantics (tests/test_pallas.py)."""
     from cudasbmp_tpu.ops.rollout_pallas import (
-        rollout_bicycle_pallas,
+        rollout_pallas,
         supports_system,
     )
 
@@ -168,10 +168,9 @@ def _dispatch_rollout(cfg: KGMTConfig, system, x0: Array, controls: Array,
         or (backend == "auto" and on_tpu)
     )
     if use_pallas:
-        return rollout_bicycle_pallas(
-            x0, controls, obstacles,
+        return rollout_pallas(
+            system, x0, controls, obstacles,
             num_disc=cfg.num_disc, width=cfg.width, height=cfg.height,
-            agent_length=system.agent_length,
             interpret=not on_tpu,
         )
     return rollout_batch(
@@ -193,7 +192,7 @@ def _expand_rollout(cfg: KGMTConfig, system, key: Array, x0: Array,
     (the HW PRNG has no CPU lowering), keeping tests runnable.
     """
     from cudasbmp_tpu.ops.rollout_pallas import (
-        sample_and_rollout_bicycle_pallas,
+        sample_and_rollout_pallas,
         supports_system,
     )
 
@@ -201,12 +200,9 @@ def _expand_rollout(cfg: KGMTConfig, system, key: Array, x0: Array,
     if (cfg.rollout_backend == "pallas_rng" and on_tpu
             and supports_system(system)):
         seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
-        spec = system.control_spec
-        x1, controls, valid = sample_and_rollout_bicycle_pallas(
-            seed, x0, obstacles,
+        x1, controls, valid = sample_and_rollout_pallas(
+            system, seed, x0, obstacles,
             num_disc=cfg.num_disc, width=cfg.width, height=cfg.height,
-            agent_length=system.agent_length,
-            control_bounds=tuple(zip(spec.lo, spec.hi)),
         )
         return x1, controls, valid
     controls = system.control_spec.sample(key, (x0.shape[0],))

@@ -63,3 +63,24 @@ class System(Protocol):
         """One Euler step. state [..., state_dim], control [..., control_dim-1]
         (duration excluded — it only sets dt), dt broadcastable. Pure."""
         ...
+
+
+class SoAStepMixin(Protocol):
+    """Optional structure-of-arrays step hooks that admit a system to the
+    fused Pallas rollout kernel (ops/rollout_pallas.py).
+
+    The kernel holds each state/control component as its own 2-D lane tile;
+    ``soa_prepare`` runs ONCE per rollout (hoist loop-invariant work, e.g.
+    the bicycle's tan(steering)/L) and ``soa_step`` runs per Euler step on
+    component lists. Components [0], [1] must be workspace x, y. Semantics
+    must match ``step`` (parity-tested in tests/test_pallas.py).
+    """
+
+    def soa_prepare(self, ctrl: list[Array]) -> tuple[Array, ...]:
+        """Per-rollout precomputation from non-duration control components."""
+        ...
+
+    def soa_step(self, comps: list[Array], aux: tuple[Array, ...],
+                 dt: Array) -> list[Array]:
+        """One Euler step on per-component arrays; returns new components."""
+        ...

@@ -47,3 +47,19 @@ class KinematicBicycle:
         new_theta = theta + (v / self.agent_length) * jnp.tan(steering) * dt
         new_v = v + a * dt
         return jnp.stack([new_x, new_y, new_theta, new_v], axis=-1)
+
+    # -- fused-kernel SoA hooks (systems.base.SoAStepMixin) ---------------
+    def soa_prepare(self, ctrl: list[Array]) -> tuple[Array, ...]:
+        a, steering = ctrl
+        # loop-invariant steering tangent, pre-scaled by 1/L (the reference
+        # recomputes tan every step, statePropagator.cu:36)
+        return a, jnp.tan(steering) * (1.0 / self.agent_length)
+
+    def soa_step(self, comps: list[Array], aux: tuple[Array, ...],
+                 dt: Array) -> list[Array]:
+        x, y, th, v = comps
+        a, tan_L = aux
+        return [x + v * jnp.cos(th) * dt,
+                y + v * jnp.sin(th) * dt,
+                th + v * tan_L * dt,
+                v + a * dt]

@@ -37,3 +37,14 @@ class DoubleIntegrator2D:
         new_vx = vx + ax * dt
         new_vy = vy + ay * dt
         return jnp.stack([new_x, new_y, new_vx, new_vy], axis=-1)
+
+    # -- fused-kernel SoA hooks (systems.base.SoAStepMixin) ---------------
+    def soa_prepare(self, ctrl: list[Array]) -> tuple[Array, ...]:
+        ax, ay = ctrl
+        return ax, ay
+
+    def soa_step(self, comps: list[Array], aux: tuple[Array, ...],
+                 dt: Array) -> list[Array]:
+        x, y, vx, vy = comps
+        ax, ay = aux
+        return [x + vx * dt, y + vy * dt, vx + ax * dt, vy + ay * dt]

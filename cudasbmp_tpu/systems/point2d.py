@@ -37,3 +37,15 @@ class Point2D:
         new_y = y + vy * dt
         zeros = jnp.zeros_like(new_x)
         return jnp.stack([new_x, new_y, zeros, zeros], axis=-1)
+
+    # -- fused-kernel SoA hooks (systems.base.SoAStepMixin) ---------------
+    def soa_prepare(self, ctrl: list[Array]) -> tuple[Array, ...]:
+        vx, vy = ctrl
+        return vx, vy
+
+    def soa_step(self, comps: list[Array], aux: tuple[Array, ...],
+                 dt: Array) -> list[Array]:
+        x, y, z0, z1 = comps
+        vx, vy = aux
+        return [x + vx * dt, y + vy * dt, jnp.zeros_like(z0),
+                jnp.zeros_like(z1)]

@@ -8,8 +8,12 @@ import pytest
 
 from cudasbmp_tpu.config import Scenario
 from cudasbmp_tpu.ops.rollout import rollout_batch
-from cudasbmp_tpu.ops.rollout_pallas import rollout_bicycle_pallas, supports_system
-from cudasbmp_tpu.systems import KinematicBicycle, Point2D
+from cudasbmp_tpu.ops.rollout_pallas import (
+    rollout_bicycle_pallas,
+    rollout_pallas,
+    supports_system,
+)
+from cudasbmp_tpu.systems import DoubleIntegrator2D, KinematicBicycle, Point2D
 
 
 @pytest.mark.parametrize("batch", [64, 1024])
@@ -64,5 +68,45 @@ def test_pallas_padding_lanes_are_dropped(rng):
 
 
 def test_supports_system():
+    """All built-in systems expose the SoA hooks for the fused kernel."""
     assert supports_system(KinematicBicycle())
-    assert not supports_system(Point2D())
+    assert supports_system(Point2D())
+    assert supports_system(DoubleIntegrator2D())
+
+    class NoHooks:
+        pass
+
+    assert not supports_system(NoHooks())
+
+
+@pytest.mark.parametrize("system", [Point2D(), DoubleIntegrator2D()],
+                         ids=["point2d", "double_integrator"])
+def test_generic_pallas_matches_jnp_rollout(system, rng):
+    """The generic kernel template reproduces the jnp path for every
+    SoA-capable system, not just the flagship bicycle."""
+    B = 512
+    obstacles = jnp.asarray(Scenario.demo().obstacles)
+    x0 = np.zeros((B, system.state_dim), np.float32)
+    x0[:, 0] = rng.uniform(0.5, 19.5, B)
+    x0[:, 1] = rng.uniform(0.5, 19.5, B)
+    if system.state_dim > 2:
+        x0[:, 2:] = rng.uniform(-1, 1, (B, system.state_dim - 2))
+    if isinstance(system, Point2D):
+        x0[:, 2:] = 0.0  # point2d carries zero padding dims
+    spec = system.control_spec
+    u = rng.uniform(0, 1, (B, spec.dim)).astype(np.float32)
+    controls = np.asarray(spec.lo) + u * (np.asarray(spec.hi)
+                                          - np.asarray(spec.lo))
+    controls = controls.astype(np.float32)
+
+    x1_ref, valid_ref = rollout_batch(
+        system, jnp.asarray(x0), jnp.asarray(controls), 10, obstacles,
+        20.0, 20.0
+    )
+    x1_pl, valid_pl = rollout_pallas(
+        system, jnp.asarray(x0), jnp.asarray(controls), obstacles,
+        num_disc=10, width=20.0, height=20.0, interpret=True,
+    )
+    np.testing.assert_array_equal(np.array(valid_ref), np.array(valid_pl))
+    np.testing.assert_allclose(np.array(x1_ref), np.array(x1_pl),
+                               rtol=1e-5, atol=1e-5)

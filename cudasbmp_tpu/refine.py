@@ -59,7 +59,7 @@ def _unroll_positions(system: System, x0, controls, num_disc):
     controls [L, 3]."""
 
     def edge(state, control):
-        a_steer, dur = control[:2], control[2]
+        a_steer, dur = control[:-1], control[-1]
         dt = dur / num_disc
 
         def step(s, _):
@@ -96,9 +96,9 @@ def _loss(system, cfg: KGMTConfig, rcfg: RefineConfig, x0, goal_xy, obstacles,
             + rcfg.goal_weight * goal_pen)
 
 
-@partial(jax.jit, static_argnames=("system", "cfg", "rcfg", "pad_len"))
+@partial(jax.jit, static_argnames=("system", "cfg", "rcfg"))
 def _refine_jit(system, cfg: KGMTConfig, rcfg: RefineConfig, x0, goal_xy,
-                obstacles, controls0, mask, pad_len: int):
+                obstacles, controls0, mask):
     lo = jnp.asarray(system.control_spec.lo)
     hi = jnp.asarray(system.control_spec.hi)
     eps = 1e-4
@@ -157,7 +157,7 @@ def refine_path(system, cfg: KGMTConfig, path: np.ndarray, goal: np.ndarray,
     mask = jnp.ones(L, bool)
 
     refined, losses = _refine_jit(system, cfg, rcfg, x0, goal_xy, obstacles_j,
-                                  controls0, mask, L)
+                                  controls0, mask)
 
     # hard re-validation: replay each refined edge with the exact checker
     states = [x0]

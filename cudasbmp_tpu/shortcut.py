@@ -39,7 +39,7 @@ class ShortcutConfig:
 
 @partial(jax.jit, static_argnames=("system", "cfg", "K", "N"))
 def _shortcut_round(system, cfg: KGMTConfig, K: int, N: int,
-                    nodes, n_edges, goal_xy, obstacles, key):
+                    nodes, n_edges, goal_xy, obstacles, key, min_gain):
     """One shortcut attempt. nodes [N, SAMPLE_DIM] (node 0 = root, node k's
     sample = state after edge k + the control that produced it), n_edges
     scalar. Returns updated (nodes, n_edges)."""
@@ -65,8 +65,8 @@ def _shortcut_round(system, cfg: KGMTConfig, K: int, N: int,
         active = t < m
         ctrl = nodes[jnp.minimum(j + 1 + t, N - 1), system.state_dim:]
         x1, v = rollout_batch(
-            system, state, jnp.broadcast_to(ctrl, (K, 3)), cfg.num_disc,
-            obstacles, cfg.width, cfg.height,
+            system, state, jnp.broadcast_to(ctrl, (K, ctrl.shape[0])),
+            cfg.num_disc, obstacles, cfg.width, cfg.height,
         )
         state = jnp.where(active, x1, state)
         ok = ok & (~active | v)
@@ -89,7 +89,7 @@ def _shortcut_round(system, cfg: KGMTConfig, K: int, N: int,
     replaced_time = (durations * replaced).sum()
     gains = jnp.where(feasible, replaced_time - controls[:, -1], -jnp.inf)
     best = jnp.argmax(gains)
-    accept = gains[best] > 1e-6
+    accept = gains[best] > min_gain
 
     # splice: slot s keeps nodes[s] for s <= i; s == i+1 takes the candidate;
     # s in (i+1, i+1+m] takes replayed suffix edge t = s - i - 2
@@ -136,6 +136,7 @@ def shortcut_path(system: System, cfg: KGMTConfig, path: np.ndarray,
         nodes, n_edges = _shortcut_round(
             system, cfg, scfg.candidates, N, nodes, n_edges, goal_xy,
             obstacles_j, jax.random.fold_in(key, r),
+            jnp.float32(scfg.min_gain),
         )
     n = int(n_edges)
     new_path = np.asarray(nodes)[: n + 1]

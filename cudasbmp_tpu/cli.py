@@ -39,6 +39,9 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--rollouts-per-iter", type=int, default=defaults.rollouts_per_iter)
     p.add_argument("--system", default=defaults.system)
     p.add_argument("--seed", type=int, default=defaults.seed)
+    p.add_argument("--rollout-backend", default=defaults.rollout_backend,
+                   choices=["auto", "jnp", "pallas", "pallas_rng"],
+                   help="rollout implementation (see KGMTConfig)")
     p.add_argument("--config", help="YAML/JSON config file (overridden by flags "
                    "explicitly set on the command line)")
 
@@ -56,7 +59,7 @@ def _config_from_args(args: argparse.Namespace):
         num_disc=args.num_disc, agent_length=args.agent_length,
         goal_threshold=args.goal_threshold,
         rollouts_per_iter=args.rollouts_per_iter, system=args.system,
-        seed=args.seed,
+        seed=args.seed, rollout_backend=args.rollout_backend,
     )
     defaults = KGMTConfig()
     overrides = {

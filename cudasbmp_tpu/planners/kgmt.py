@@ -39,7 +39,7 @@ import numpy as np
 from cudasbmp_tpu.config import KGMTConfig, SAMPLE_DIM, Scenario
 from cudasbmp_tpu.geometry.grid import RegionGrid
 from cudasbmp_tpu.ops.rollout import rollout_batch
-from cudasbmp_tpu.ops.segments import masked_bincount, scatter_or
+from cudasbmp_tpu.ops.segments import masked_multi_bincount
 from cudasbmp_tpu.planners.base import Planner
 from cudasbmp_tpu.systems.registry import get_system
 
@@ -305,13 +305,23 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
     # --- region statistics (atomics -> segment sums) ---------------------
     with jax.named_scope("kgmt_region_stats"):
         r1, r2 = grid.region_indices(x1[:, 0:2])
-        invalid = slot_active & ~valid
-        r1_total = s.r1_total + masked_bincount(r1, slot_active, cfg.num_r1)
-        r2_total = s.r2_total + masked_bincount(r2, slot_active, cfg.num_r2)
-        r1_valid_c = s.r1_valid + masked_bincount(r1, valid, cfg.num_r1)
-        r2_valid_c = s.r2_valid + masked_bincount(r2, valid, cfg.num_r2)
-        r1_invalid_c = s.r1_invalid + masked_bincount(r1, invalid, cfg.num_r1)
-        r2_invalid_c = s.r2_invalid + masked_bincount(r2, invalid, cfg.num_r2)
+        # One 2-column scatter per grid level replaces the reference's six
+        # atomicAdd streams + two atomicExch flag flips (KGMT.cu:392-410):
+        # invalid = touched - valid, and a cell becomes available exactly
+        # when its valid count first exceeds zero (KGMT.cu:401-406).
+        vals = jnp.stack(
+            [slot_active.astype(jnp.int32), valid.astype(jnp.int32)], axis=-1
+        )
+        d1 = masked_multi_bincount(r1, vals, cfg.num_r1)
+        d2 = masked_multi_bincount(r2, vals, cfg.num_r2)
+        r1_total = s.r1_total + d1[:, 0]
+        r2_total = s.r2_total + d2[:, 0]
+        r1_valid_c = s.r1_valid + d1[:, 1]
+        r2_valid_c = s.r2_valid + d2[:, 1]
+        r1_invalid_c = s.r1_invalid + (d1[:, 0] - d1[:, 1])
+        r2_invalid_c = s.r2_invalid + (d2[:, 0] - d2[:, 1])
+        r1_avail = s.r1_avail | (d1[:, 1] > 0).astype(jnp.int32)
+        r2_avail = s.r2_avail | (d2[:, 1] > 0).astype(jnp.int32)
 
     # --- acceptance (KGMT.cu:394-400): Bernoulli(score of child's R1 cell)
     #     OR the child's R2 subcell was never reached before this wave -------
@@ -322,9 +332,6 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
         virgin_r2 = s_score.r2_avail[r2_safe] == 0  # pre-wave snapshot (deterministic
         # stand-in for the reference's racy read of concurrently-updated flags)
         accept = valid & ((u <= r1_score[r1_safe]) | virgin_r2)
-        # Availability flags flip for every *valid* child (KGMT.cu:401-406).
-        r1_avail = scatter_or(s.r1_avail, r1, valid)
-        r2_avail = scatter_or(s.r2_avail, r2, valid)
 
     # --- commit (updateG, KGMT.cu:540-593) with correct capacity clamp ----
     with jax.named_scope("kgmt_commit"):

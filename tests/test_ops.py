@@ -58,6 +58,25 @@ def test_masked_bincount_vs_numpy(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_masked_multi_bincount_matches_separate(rng):
+    """The packed 2-column histogram equals per-column masked_bincounts."""
+    from cudasbmp_tpu.ops.segments import masked_multi_bincount
+
+    n = 64
+    indices = rng.integers(-1, n, size=5000)
+    active = rng.random(5000) < 0.9
+    valid = active & (rng.random(5000) < 0.6)
+    vals = jnp.stack([jnp.asarray(active, jnp.int32),
+                      jnp.asarray(valid, jnp.int32)], axis=-1)
+    d = np.array(masked_multi_bincount(jnp.asarray(indices), vals, n))
+    np.testing.assert_array_equal(
+        d[:, 0], np.array(masked_bincount(jnp.asarray(indices),
+                                          jnp.asarray(active), n)))
+    np.testing.assert_array_equal(
+        d[:, 1], np.array(masked_bincount(jnp.asarray(indices),
+                                          jnp.asarray(valid), n)))
+
+
 def test_scatter_or():
     flags = jnp.array([0, 1, 0, 0], jnp.int32)
     out = scatter_or(flags, jnp.array([2, -1, 0]), jnp.array([True, True, False]))

@@ -248,6 +248,39 @@ def update_region_scores(
     return r1_score, r1_threshold
 
 
+def expansion_wave(cfg: KGMTConfig, system, obstacles: Array, s: KGMTState):
+    """Compute iteration ``s.itr``'s expansion wave from the pre-iteration
+    state: the analog of the reference's staging buffer fill
+    (d_unexploredSamples_/d_uParentIdx_, propagateG, KGMT.cu:386-389).
+
+    Deterministic in ``s`` (counter-based RNG), so a recorded run can REPLAY
+    any iteration's wave after the fact to dump the staging-buffer artifacts
+    (unexploredSamples<i>.csv / uParentIdx<i>.csv) without carrying them in
+    the planner state. Returns (slot_active, parent_idx, x1, controls, valid,
+    samples1, k_accept)."""
+    M = cfg.max_tree_size
+    R = cfg.rollouts_per_iter
+    frontier_size = s.tree_size - s.frontier_lo
+    capacity_left = M - s.tree_size
+    # The reference's two regimes — fan-out 32 per node (KGMT.cu:151-158)
+    # or fill-remaining-capacity (propagateGV2) — collapse into one dense
+    # batch: n_eff live slots, parents assigned round-robin.
+    n_eff = jnp.minimum(
+        jnp.minimum(cfg.fanout * frontier_size, capacity_left), R
+    )
+    slot = jnp.arange(R, dtype=jnp.int32)
+    slot_active = slot < n_eff
+    parent_idx = s.frontier_lo + slot % jnp.maximum(frontier_size, 1)
+    x0 = s.tree_samples[parent_idx, : system.state_dim]
+
+    key_iter = jax.random.fold_in(s.key, s.itr)
+    k_ctrl, k_accept = jax.random.split(key_iter)
+    x1, controls, valid = _expand_rollout(cfg, system, k_ctrl, x0, obstacles)
+    valid = valid & slot_active
+    samples1 = jnp.concatenate([x1, controls], axis=-1)  # [R, SAMPLE_DIM]
+    return slot_active, parent_idx, x1, controls, valid, samples1, k_accept
+
+
 def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
                    goal: Array, s: KGMTState, axis_name: str | None = None
                    ) -> KGMTState:
@@ -283,24 +316,8 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
 
     # --- expansion wave -------------------------------------------------
     with jax.named_scope("kgmt_expand"):
-        capacity_left = M - s.tree_size
-        # The reference's two regimes — fan-out 32 per node (KGMT.cu:151-158)
-        # or fill-remaining-capacity (propagateGV2) — collapse into one dense
-        # batch: n_eff live slots, parents assigned round-robin.
-        n_eff = jnp.minimum(
-            jnp.minimum(cfg.fanout * frontier_size, capacity_left), R
-        )
-        slot = jnp.arange(R, dtype=jnp.int32)
-        slot_active = slot < n_eff
-        parent_idx = s.frontier_lo + slot % jnp.maximum(frontier_size, 1)
-        x0 = s.tree_samples[parent_idx, : system.state_dim]
-
-        key_iter = jax.random.fold_in(s.key, s.itr)
-        k_ctrl, k_accept = jax.random.split(key_iter)
-        x1, controls, valid = _expand_rollout(cfg, system, k_ctrl, x0,
-                                              obstacles)
-        valid = valid & slot_active
-        samples1 = jnp.concatenate([x1, controls], axis=-1)  # [R, SAMPLE_DIM]
+        (slot_active, parent_idx, x1, controls, valid,
+         samples1, k_accept) = expansion_wave(cfg, system, obstacles, s)
 
     # --- region statistics (atomics -> segment sums) ---------------------
     with jax.named_scope("kgmt_region_stats"):
@@ -339,7 +356,7 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
         accept_pos = jnp.cumsum(accept_i) - accept_i
         child_slot = s.tree_size + accept_pos
         within = accept & (child_slot < M)
-        n_accepted = jnp.minimum(accept_i.sum(), capacity_left)
+        n_accepted = jnp.minimum(accept_i.sum(), M - s.tree_size)
         dst = jnp.where(within, child_slot, M)  # OOB -> dropped
         tree_samples = s.tree_samples.at[dst].set(samples1, mode="drop")
         tree_parent = s.tree_parent.at[dst].set(parent_idx, mode="drop")
@@ -555,7 +572,8 @@ class KGMT(Planner):
 
         cfg = self.config
         out = pathlib.Path(out_dir)
-        for sub in ("Samples", "Parents", "R1Scores", "R1Avail", "R1", "G"):
+        for sub in ("Samples", "Parents", "R1Scores", "R1Avail", "R1", "G",
+                    "UnexploredSamples", "UParentIdx"):
             (out / sub).mkdir(parents=True, exist_ok=True)
         obstacles, _ = scenario.padded_obstacles(cfg.max_obstacles)
         obstacles = jnp.asarray(obstacles)
@@ -566,11 +584,22 @@ class KGMT(Planner):
             lambda s: kgmt_iteration(cfg, self.system, self.grid, obstacles,
                                      goal, s)
         )
+        # staging-buffer replay for the reference's unexploredSamples /
+        # uParentIdx artifacts (KGMT.cu:269-274): deterministically recompute
+        # iteration i's wave from the pre-iteration state
+        wave = jax.jit(lambda s: expansion_wave(cfg, self.system, obstacles, s))
         t0 = time.perf_counter()
         for i in range(cfg.num_iterations):
+            prev = state
             state = step(state)
             if i % dump_every == 0:
                 it = i + 1
+                _, u_parent, _, _, _, u_samples, _ = wave(prev)
+                write_csv(np.asarray(u_samples),
+                          out / "UnexploredSamples"
+                          / f"unexploredSamples{it}.csv", SAMPLE_DIM)
+                write_csv(np.asarray(u_parent),
+                          out / "UParentIdx" / f"uParentIdx{it}.csv")
                 write_csv(np.asarray(state.tree_samples),
                           out / "Samples" / f"samples{it}.csv", SAMPLE_DIM)
                 write_csv(np.asarray(state.tree_parent),

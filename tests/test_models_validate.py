@@ -76,6 +76,21 @@ def test_plan_recorded_dumps_and_checkpoints(tmp_path):
     assert (tmp_path / "Parents" / "parents1.csv").exists()
     assert (tmp_path / "R1Scores" / "R1Scores1.csv").exists()
     assert (tmp_path / "checkpoint_3.npz").exists()
+    # staging-buffer replay artifacts (unexploredSamples/uParentIdx parity):
+    # every committed tree row of wave 1 must appear verbatim in the replayed
+    # staging buffer (the reference's updateG copies accepted rows from it,
+    # KGMT.cu:568-575)
+    staged = np.loadtxt(
+        tmp_path / "UnexploredSamples" / "unexploredSamples1.csv",
+        delimiter=",")
+    samples1 = np.loadtxt(tmp_path / "Samples" / "samples1.csv",
+                          delimiter=",")
+    parents1 = np.loadtxt(tmp_path / "Parents" / "parents1.csv",
+                          delimiter=",")
+    committed = samples1[1:int((parents1 >= 0).sum()) + 1]
+    staged_set = {tuple(np.round(r, 5)) for r in staged}
+    for row in committed:
+        assert tuple(np.round(row, 5)) in staged_set
     # recorded mode matches plan() exactly (same seed, same RNG stream)
     direct = KGMT(cfg).plan(Scenario.demo())
     assert result.cost == direct.cost

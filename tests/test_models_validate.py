@@ -97,6 +97,32 @@ def test_plan_recorded_dumps_and_checkpoints(tmp_path):
     assert result.tree_size == direct.tree_size
 
 
+def test_invariants_fuzz_random_scenarios():
+    """Property fuzz: every invariant holds on random obstacle fields, goals
+    reachable or not, across systems — the automated stand-in for the
+    sanitizer runs the reference never had (SURVEY.md §5)."""
+    import jax
+
+    from cudasbmp_tpu.parallel.monte_carlo import random_scenarios
+    from cudasbmp_tpu.utils.validate import validate_state
+
+    cfg = KGMTConfig(num_iterations=40, max_tree_size=4096,
+                     rollouts_per_iter=512)
+    inits, goals, obstacles = random_scenarios(
+        jax.random.key(42), 6, cfg, num_obstacles=8
+    )
+    planner = KGMT(cfg)
+    solved = 0
+    for i in range(6):
+        sc = Scenario(init=inits[i], goal=goals[i],
+                      obstacles=obstacles[i][:8])
+        result = planner.plan(sc, seed=i)
+        summary = validate_state(result.state, cfg)
+        assert summary["max_depth"] <= result.iterations
+        solved += int(result.solved)
+    assert solved >= 3  # random 8-obstacle fields are mostly solvable
+
+
 def test_config_from_car_yaml():
     cfg = KGMTConfig.from_file("systems/car.yaml")
     assert cfg.system == "bicycle"

@@ -73,6 +73,22 @@ class KGMTConfig:
     # stream than the threefry backends; degrades to 'pallas' off-TPU).
     rollout_backend: str = "auto"
 
+    def __post_init__(self) -> None:
+        problems = []
+        for name, lo in (("N", 1), ("n", 1), ("num_disc", 1),
+                         ("rollouts_per_iter", 1), ("fanout", 1),
+                         ("max_tree_size", 1), ("max_obstacles", 1),
+                         ("num_iterations", 0)):
+            if getattr(self, name) < lo:
+                problems.append(f"{name} must be >= {lo}")
+        for name in ("width", "height", "goal_threshold", "agent_length"):
+            if getattr(self, name) <= 0:
+                problems.append(f"{name} must be > 0")
+        if self.rollout_backend not in ("auto", "jnp", "pallas", "pallas_rng"):
+            problems.append(f"unknown rollout_backend {self.rollout_backend!r}")
+        if problems:
+            raise ValueError("invalid KGMTConfig: " + "; ".join(problems))
+
     @property
     def r1_size(self) -> float:
         """Coarse cell edge length (KGMT.cu:13)."""

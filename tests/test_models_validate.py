@@ -123,6 +123,17 @@ def test_invariants_fuzz_random_scenarios():
     assert solved >= 3  # random 8-obstacle fields are mostly solvable
 
 
+def test_config_validation_rejects_bad_values():
+    import pytest
+
+    for kw in ({"N": 0}, {"num_disc": 0}, {"rollouts_per_iter": 0},
+               {"fanout": -1}, {"width": 0.0}, {"goal_threshold": -1.0},
+               {"rollout_backend": "cuda"}):
+        with pytest.raises(ValueError, match="invalid KGMTConfig"):
+            KGMTConfig(**kw)
+    KGMTConfig(num_iterations=0)  # zero budget is legal (no-op plan)
+
+
 def test_config_from_car_yaml():
     cfg = KGMTConfig.from_file("systems/car.yaml")
     assert cfg.system == "bicycle"

@@ -42,6 +42,9 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--rollout-backend", default=defaults.rollout_backend,
                    choices=["auto", "jnp", "pallas", "pallas_rng"],
                    help="rollout implementation (see KGMTConfig)")
+    p.add_argument("--goal-bias", type=float, default=defaults.goal_bias,
+                   help="fraction of each wave expanded from the top-k "
+                   "goal-nearest frontier nodes (0 = reference semantics)")
     p.add_argument("--config", help="YAML/JSON config file (overridden by flags "
                    "explicitly set on the command line)")
 
@@ -60,6 +63,7 @@ def _config_from_args(args: argparse.Namespace):
         goal_threshold=args.goal_threshold,
         rollouts_per_iter=args.rollouts_per_iter, system=args.system,
         seed=args.seed, rollout_backend=args.rollout_backend,
+        goal_bias=args.goal_bias,
     )
     defaults = KGMTConfig()
     overrides = {

@@ -65,6 +65,14 @@ class KGMTConfig:
     keep_frontier_on_stall: bool = True
     # Static capacity of the obstacle set (scenarios pad up to this).
     max_obstacles: int = 32
+    # Goal-biased expansion (beyond-reference extension; 0.0 = off, exact
+    # reference semantics): this fraction of each wave's rollout slots draws
+    # parents from the goal_bias_k frontier nodes NEAREST the goal, selected
+    # on device with a top-k reduction over the tree (the north-star's
+    # "nearest-neighbor selection as segmented top-k"). The rest of the wave
+    # keeps the uniform round-robin assignment.
+    goal_bias: float = 0.0
+    goal_bias_k: int = 32
     # Rollout implementation: 'auto' uses the fused Pallas kernel on TPU for
     # supported systems and the XLA-fused jnp path elsewhere; 'pallas'/'jnp'
     # force one (pallas on CPU runs in interpret mode — tests only);
@@ -86,6 +94,10 @@ class KGMTConfig:
                 problems.append(f"{name} must be > 0")
         if self.rollout_backend not in ("auto", "jnp", "pallas", "pallas_rng"):
             problems.append(f"unknown rollout_backend {self.rollout_backend!r}")
+        if not 0.0 <= self.goal_bias <= 1.0:
+            problems.append("goal_bias must be in [0, 1]")
+        if self.goal_bias_k < 1:
+            problems.append("goal_bias_k must be >= 1")
         if problems:
             raise ValueError("invalid KGMTConfig: " + "; ".join(problems))
 

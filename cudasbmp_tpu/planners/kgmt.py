@@ -248,7 +248,8 @@ def update_region_scores(
     return r1_score, r1_threshold
 
 
-def expansion_wave(cfg: KGMTConfig, system, obstacles: Array, s: KGMTState):
+def expansion_wave(cfg: KGMTConfig, system, obstacles: Array, goal: Array,
+                   s: KGMTState):
     """Compute iteration ``s.itr``'s expansion wave from the pre-iteration
     state: the analog of the reference's staging buffer fill
     (d_unexploredSamples_/d_uParentIdx_, propagateG, KGMT.cu:386-389).
@@ -271,6 +272,27 @@ def expansion_wave(cfg: KGMTConfig, system, obstacles: Array, s: KGMTState):
     slot = jnp.arange(R, dtype=jnp.int32)
     slot_active = slot < n_eff
     parent_idx = s.frontier_lo + slot % jnp.maximum(frontier_size, 1)
+    if cfg.goal_bias > 0.0:
+        # Nearest-neighbor parent selection as a device-side top-k reduction
+        # over the tree (beyond-reference; see KGMTConfig.goal_bias): the
+        # first n_biased slots cycle over the goal_bias_k frontier nodes
+        # nearest the goal, the rest keep the uniform assignment above.
+        with jax.named_scope("kgmt_goal_bias_topk"):
+            idx = jnp.arange(M)
+            in_frontier = (idx >= s.frontier_lo) & (idx < s.tree_size)
+            d2 = ((s.tree_samples[:, 0] - goal[0]) ** 2
+                  + (s.tree_samples[:, 1] - goal[1]) ** 2)
+            d2 = jnp.where(in_frontier, d2, jnp.inf)
+            k = min(cfg.goal_bias_k, M)
+            neg_best, near = jax.lax.top_k(-d2, k)
+            n_biased = int(round(cfg.goal_bias * R))
+            biased = near[jnp.arange(n_biased) % k].astype(jnp.int32)
+            # slots whose top-k entry is padding (frontier smaller than k)
+            # fall back to their round-robin parent
+            ok = jnp.isfinite(-neg_best)[jnp.arange(n_biased) % k]
+            parent_idx = parent_idx.at[:n_biased].set(
+                jnp.where(ok, biased, parent_idx[:n_biased])
+            )
     x0 = s.tree_samples[parent_idx, : system.state_dim]
 
     key_iter = jax.random.fold_in(s.key, s.itr)
@@ -317,7 +339,7 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
     # --- expansion wave -------------------------------------------------
     with jax.named_scope("kgmt_expand"):
         (slot_active, parent_idx, x1, controls, valid,
-         samples1, k_accept) = expansion_wave(cfg, system, obstacles, s)
+         samples1, k_accept) = expansion_wave(cfg, system, obstacles, goal, s)
 
     # --- region statistics (atomics -> segment sums) ---------------------
     with jax.named_scope("kgmt_region_stats"):
@@ -587,7 +609,9 @@ class KGMT(Planner):
         # staging-buffer replay for the reference's unexploredSamples /
         # uParentIdx artifacts (KGMT.cu:269-274): deterministically recompute
         # iteration i's wave from the pre-iteration state
-        wave = jax.jit(lambda s: expansion_wave(cfg, self.system, obstacles, s))
+        wave = jax.jit(
+            lambda s: expansion_wave(cfg, self.system, obstacles, goal, s)
+        )
         t0 = time.perf_counter()
         for i in range(cfg.num_iterations):
             prev = state

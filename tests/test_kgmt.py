@@ -130,6 +130,22 @@ def test_dense_obstacle_scenario_solves(small_config):
         assert not inside.any()
 
 
+def test_goal_biased_expansion_solves(small_config, demo_scenario):
+    """goal_bias > 0 routes part of each wave to the top-k goal-nearest
+    frontier nodes (lax.top_k NN selection). Must still solve, and across a
+    few seeds should not need more iterations than uniform expansion."""
+    uniform = small_config
+    biased = small_config.replace(goal_bias=0.25, goal_bias_k=16)
+    iters_u, iters_b = [], []
+    for seed in range(3):
+        ru = KGMT(uniform).plan(demo_scenario, seed=seed)
+        rb = KGMT(biased).plan(demo_scenario, seed=seed)
+        assert rb.solved
+        iters_u.append(ru.iterations if ru.solved else uniform.num_iterations)
+        iters_b.append(rb.iterations)
+    assert sum(iters_b) <= sum(iters_u) + 3  # biased never much worse
+
+
 def test_pallas_rng_backend_degrades_off_tpu(small_config, demo_scenario):
     """rollout_backend='pallas_rng' has no CPU lowering for the TPU hardware
     PRNG; off-TPU it must degrade to external threefry controls + the

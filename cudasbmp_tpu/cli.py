@@ -24,25 +24,39 @@ import sys
 
 
 def _add_config_args(p: argparse.ArgumentParser) -> None:
+    # Flags default to None so "explicitly set on the command line" is
+    # detectable: an explicit flag overrides --config even when its value
+    # equals the dataclass default (e.g. --seed 0 over a file's seed: 42).
     from cudasbmp_tpu.config import KGMTConfig
 
-    defaults = KGMTConfig()
-    p.add_argument("--width", type=float, default=defaults.width)
-    p.add_argument("--height", type=float, default=defaults.height)
-    p.add_argument("--N", type=int, default=defaults.N, help="R1 cells per axis")
-    p.add_argument("--n", type=int, default=defaults.n, help="R2 subcells per axis")
-    p.add_argument("--num-iterations", type=int, default=defaults.num_iterations)
-    p.add_argument("--max-tree-size", type=int, default=defaults.max_tree_size)
-    p.add_argument("--num-disc", type=int, default=defaults.num_disc)
-    p.add_argument("--agent-length", type=float, default=defaults.agent_length)
-    p.add_argument("--goal-threshold", type=float, default=defaults.goal_threshold)
-    p.add_argument("--rollouts-per-iter", type=int, default=defaults.rollouts_per_iter)
-    p.add_argument("--system", default=defaults.system)
-    p.add_argument("--seed", type=int, default=defaults.seed)
-    p.add_argument("--rollout-backend", default=defaults.rollout_backend,
+    d = KGMTConfig()
+    p.add_argument("--width", type=float, default=None,
+                   help=f"workspace width (default {d.width})")
+    p.add_argument("--height", type=float, default=None,
+                   help=f"workspace height (default {d.height})")
+    p.add_argument("--N", type=int, default=None,
+                   help=f"R1 cells per axis (default {d.N})")
+    p.add_argument("--n", type=int, default=None,
+                   help=f"R2 subcells per axis (default {d.n})")
+    p.add_argument("--num-iterations", type=int, default=None,
+                   help=f"default {d.num_iterations}")
+    p.add_argument("--max-tree-size", type=int, default=None,
+                   help=f"default {d.max_tree_size}")
+    p.add_argument("--num-disc", type=int, default=None,
+                   help=f"default {d.num_disc}")
+    p.add_argument("--agent-length", type=float, default=None,
+                   help=f"default {d.agent_length}")
+    p.add_argument("--goal-threshold", type=float, default=None,
+                   help=f"default {d.goal_threshold}")
+    p.add_argument("--rollouts-per-iter", type=int, default=None,
+                   help=f"default {d.rollouts_per_iter}")
+    p.add_argument("--system", default=None,
+                   help=f"dynamics system (default {d.system})")
+    p.add_argument("--seed", type=int, default=None, help=f"default {d.seed}")
+    p.add_argument("--rollout-backend", default=None,
                    choices=["auto", "jnp", "pallas", "pallas_rng"],
                    help="rollout implementation (see KGMTConfig)")
-    p.add_argument("--goal-bias", type=float, default=defaults.goal_bias,
+    p.add_argument("--goal-bias", type=float, default=None,
                    help="fraction of each wave expanded from the top-k "
                    "goal-nearest frontier nodes (0 = reference semantics)")
     p.add_argument("--config", help="YAML/JSON config file (overridden by flags "
@@ -52,10 +66,7 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
 def _config_from_args(args: argparse.Namespace):
     from cudasbmp_tpu.config import KGMTConfig
 
-    if args.config:
-        cfg = KGMTConfig.from_file(args.config)
-    else:
-        cfg = KGMTConfig()
+    cfg = KGMTConfig.from_file(args.config) if args.config else KGMTConfig()
     flag_fields = dict(
         width=args.width, height=args.height, N=args.N, n=args.n,
         num_iterations=args.num_iterations, max_tree_size=args.max_tree_size,
@@ -65,11 +76,7 @@ def _config_from_args(args: argparse.Namespace):
         seed=args.seed, rollout_backend=args.rollout_backend,
         goal_bias=args.goal_bias,
     )
-    defaults = KGMTConfig()
-    overrides = {
-        k: v for k, v in flag_fields.items()
-        if v != getattr(defaults, k) or not args.config
-    }
+    overrides = {k: v for k, v in flag_fields.items() if v is not None}
     return dataclasses.replace(cfg, **overrides)
 
 
@@ -185,8 +192,11 @@ def main(argv: list[str] | None = None) -> int:
         from cudasbmp_tpu.io.csv import load_scenario
 
         scenario, grid_params = load_scenario(args.configurations)
-        args.N = grid_params["N"] if args.N == 16 else args.N
-        args.n = grid_params["n"] if args.n == 8 else args.n
+        # the configurations/ numR1/numR2 CSVs set the grid unless flags do
+        if args.N is None:
+            args.N = grid_params["N"]
+        if args.n is None:
+            args.n = grid_params["n"]
         return _run_plan(args, scenario)
 
     if args.cmd == "probe":

@@ -95,21 +95,20 @@ def write_csv(array: np.ndarray, path: str | os.PathLike, cols: int = 1) -> None
     np.savetxt(path, arr, delimiter=",", fmt="%.9g")
 
 
-def _frontier_mask_np(state, max_tree_size: int) -> np.ndarray:
-    idx = np.arange(max_tree_size)
-    lo, hi = int(state.frontier_lo), int(state.tree_size)
-    return ((idx >= lo) & (idx < hi)).astype(np.int32)
-
-
 def write_artifacts(state, config: KGMTConfig, out_dir: str | os.PathLike) -> list[str]:
     """Dump the 13 reference-named artifact CSVs (KGMT.cu:299-311)."""
+    from cudasbmp_tpu.planners.kgmt import frontier_mask  # lazy: no cycle
+
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     nr1 = config.num_r1
+    g_mask = np.asarray(
+        frontier_mask(state, config.max_tree_size)
+    ).astype(np.int32)
     dumps = [
         ("samples.csv", np.asarray(state.tree_samples), SAMPLE_DIM),
         ("parentRelations.csv", np.asarray(state.tree_parent), 1),
-        ("G.csv", _frontier_mask_np(state, config.max_tree_size), 1),
+        ("G.csv", g_mask, 1),
         ("R1.csv", np.asarray(state.r1_total), 1),
         ("R1Avail.csv", np.asarray(state.r1_avail), 1),
         ("R1Valid.csv", np.asarray(state.r1_valid), 1),

@@ -5,6 +5,11 @@ The reference compacts boolean frontier masks with
 319-339), reading the resulting size back to the host every iteration. Here the
 same mask -> dense-index transform is a cumsum + one scatter, stays on device,
 and the "size" is a traced scalar — no host round-trip, no dynamic shapes.
+
+Library op: the flagship planner no longer needs it (its frontier became the
+contiguous range [frontier_lo, tree_size) since commits are tail-packed), but
+it is the general-mask building block for planner variants whose acceptance
+doesn't tail-pack.
 """
 
 from __future__ import annotations

@@ -69,6 +69,30 @@ def rollout_batch(
     return x1, valid
 
 
+def rollout_unchecked(
+    system: System,
+    x0: Array,  # [B, state_dim]
+    controls: Array,  # [B, control_dim], duration last
+    num_disc: int,
+) -> Array:
+    """Pure propagation with NO validity checks — the probe planners' path.
+
+    The reference's Naive/CostProp kernels integrate without any bounds or
+    collision tests (NaivePlanner.cu:26-48, CostPropPlanner.cu:26-58);
+    rollout_batch's bounds test would instead freeze rollouts crossing
+    x<=0 / y<=0 and skew the throughput-probe semantics. Returns x1 [B, d].
+    """
+    duration = controls[:, -1]
+    ctrl = controls[:, :-1]
+    dt = duration / num_disc
+
+    def step(state, _):
+        return system.step(state, ctrl, dt), None
+
+    x1, _ = jax.lax.scan(step, x0, None, length=num_disc)
+    return x1
+
+
 @partial(jax.jit, static_argnames=("system", "num_disc", "width", "height", "batch"))
 def propagate_and_check(
     system: System,

@@ -57,9 +57,12 @@ def _integrate(system, comps, ctrl, dur, obs, num_disc: int,
     """Shared kernel body: unrolled Euler loop + per-step swept-AABB tests.
 
     Break-semantics parity with the reference (statePropagator.cu:31-65):
-    dead lanes freeze at their failing-step candidate position.
+    dead lanes freeze at their failing-step candidate position. dt uses a
+    true division (not reciprocal-multiply) so the kernel's float math is
+    bitwise-identical to the jnp path (rollout.py:50) — the parity tests
+    compare valid masks with assert_array_equal.
     """
-    dt = dur * (1.0 / num_disc)
+    dt = dur / num_disc
     aux = system.soa_prepare(ctrl)
     alive = jnp.ones_like(comps[0], dtype=jnp.bool_)
     for _ in range(num_disc):

@@ -33,11 +33,12 @@ def random_scenarios(key, batch: int, config: KGMTConfig,
     k_obs, k_init, k_goal = jax.random.split(key, 3)
 
     def one(k_o, k_i, k_g):
+        k_pos, k_size = jax.random.split(k_o)
         lo = jax.random.uniform(
-            k_o, (num_obstacles, 2), minval=0.0,
+            k_pos, (num_obstacles, 2), minval=0.0,
             maxval=jnp.array([cfg.width, cfg.height]) - margin,
         )
-        size = jax.random.uniform(k_o, (num_obstacles, 2), minval=0.5,
+        size = jax.random.uniform(k_size, (num_obstacles, 2), minval=0.5,
                                   maxval=obstacle_max_size)
         hi = jnp.minimum(lo + size, jnp.array([cfg.width, cfg.height]))
         obstacles = jnp.concatenate([lo, hi], axis=-1)

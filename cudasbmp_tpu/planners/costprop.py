@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cudasbmp_tpu.config import KGMTConfig, Scenario
-from cudasbmp_tpu.ops.rollout import rollout_batch
+from cudasbmp_tpu.ops.rollout import rollout_unchecked
 from cudasbmp_tpu.planners.base import Planner
 from cudasbmp_tpu.planners.naive import PROBE_CONTROL_SPEC, PROBE_NUM_DISC, ProbeResult
 from cudasbmp_tpu.systems.registry import get_system
@@ -40,7 +40,6 @@ class CostPropPlanner(Planner):
 
         sys_ = self.system
         W, R, G = width_rollouts, rows, group_size
-        no_obstacles = jnp.zeros((0, 4), jnp.float32)
         leader = (jnp.arange(W) // G) * G  # group-leader lane per lane
 
         @jax.jit
@@ -51,10 +50,8 @@ class CostPropPlanner(Planner):
                 x0_row, k = carry
                 k, sub = jax.random.split(k)
                 controls = sys_.control_spec.sample(sub, (W,))
-                x1, _ = rollout_batch(
-                    sys_, x0_row, controls, PROBE_NUM_DISC, no_obstacles,
-                    float("inf"), float("inf"),
-                )
+                # no validity checks, like the reference probe kernels
+                x1 = rollout_unchecked(sys_, x0_row, controls, PROBE_NUM_DISC)
                 sample = jnp.concatenate([x1, controls], axis=-1)
                 next_x0 = x1[leader]  # chain from group leader (see module doc)
                 return (next_x0, k), sample

@@ -11,12 +11,16 @@ is a single ``lax.while_loop`` under one ``jax.jit``: zero host round-trips
 until the final result fetch.
 
 Mapping (reference mechanism -> this file):
-- mask -> scan -> compact frontier (KGMT.cu:139-147)   -> ops.compaction
+- mask -> scan -> compact frontier (KGMT.cu:139-147)   -> eliminated: commits
+  are tail-packed, so the frontier is the contiguous range
+  [frontier_lo, tree_size) (ops.compaction remains as a standalone library
+  op for general masks)
 - propagateG / propagateGV2 two launch regimes
   (KGMT.cu:151-219, 341-482)                           -> one dense rollout
   batch of ``rollouts_per_iter`` slots, round-robin parent assignment,
   slots beyond min(fanout*frontier, capacity) masked
-- atomicAdd/atomicExch region stats (KGMT.cu:392-410)  -> ops.segments
+- atomicAdd/atomicExch region stats (KGMT.cu:392-410)  -> one packed
+  two-column scatter-add per grid level (ops.segments.masked_multi_bincount)
 - curand per-slot states seeded time(NULL)
   (KGMT.cu:109-111)                                    -> fold_in(key, itr)
 - updateR1 score kernel (KGMT.cu:487-538)              -> vectorized formula
@@ -368,9 +372,16 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
         u = jax.random.uniform(k_accept, (R,))
         r1_safe = jnp.maximum(r1, 0)
         r2_safe = jnp.maximum(r2, 0)
-        virgin_r2 = s_score.r2_avail[r2_safe] == 0  # pre-wave snapshot (deterministic
-        # stand-in for the reference's racy read of concurrently-updated flags)
-        accept = valid & ((u <= r1_score[r1_safe]) | virgin_r2)
+        # Valid children OUTSIDE the region grid (possible when height >
+        # width: both axes use width-derived cells, KGMT.cu:13-14) score like
+        # never-touched cells (1.0 -> always accepted) instead of borrowing
+        # cell 0's stats. The reference would index its arrays at -1 here
+        # (UB, SURVEY.md §2.4.7).
+        child_score = jnp.where(r1 >= 0, r1_score[r1_safe], 1.0)
+        virgin_r2 = (r2 < 0) | (s_score.r2_avail[r2_safe] == 0)  # pre-wave
+        # snapshot (deterministic stand-in for the reference's racy read of
+        # concurrently-updated flags)
+        accept = valid & ((u <= child_score) | virgin_r2)
 
     # --- commit (updateG, KGMT.cu:540-593) with correct capacity clamp ----
     with jax.named_scope("kgmt_commit"):
@@ -638,8 +649,11 @@ class KGMT(Planner):
                           out / "G" / f"G{it}.csv")
             if checkpoint_every and (i + 1) % checkpoint_every == 0:
                 save_checkpoint(state, out / f"checkpoint_{i + 1}.npz")
+            # same termination tests as kgmt_run's cond (incl. the stall
+            # check when frontier retry is disabled)
             if bool(np.isfinite(np.asarray(state.cost_to_goal))) or \
-               int(state.tree_size) >= cfg.max_tree_size:
+               int(state.tree_size) >= cfg.max_tree_size or \
+               (not cfg.keep_frontier_on_stall and bool(state.stalled)):
                 break
         wall = time.perf_counter() - t0
         nodes, samples, length = jax.jit(partial(extract_path, cfg))(state)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cudasbmp_tpu.config import KGMTConfig, Scenario
-from cudasbmp_tpu.ops.rollout import rollout_batch
+from cudasbmp_tpu.ops.rollout import rollout_unchecked
 from cudasbmp_tpu.planners.base import Planner
 from cudasbmp_tpu.systems.base import ControlSpec
 from cudasbmp_tpu.systems.registry import get_system
@@ -54,7 +54,6 @@ class NaivePlanner(Planner):
 
         sys_ = self.system
         W, R = self.width_rollouts, self.rows
-        no_obstacles = jnp.zeros((0, 4), jnp.float32)
 
         @jax.jit
         def _tree(root, key):
@@ -63,10 +62,8 @@ class NaivePlanner(Planner):
             def row(carry_key, _):
                 k, sub = jax.random.split(carry_key)
                 controls = sys_.control_spec.sample(sub, (W,))
-                x1, _ = rollout_batch(
-                    sys_, x0, controls, PROBE_NUM_DISC, no_obstacles,
-                    float("inf"), float("inf"),
-                )
+                # no validity checks, like the reference probe kernels
+                x1 = rollout_unchecked(sys_, x0, controls, PROBE_NUM_DISC)
                 return k, jnp.concatenate([x1, controls], axis=-1)
 
             _, tree = jax.lax.scan(row, key, None, length=R)

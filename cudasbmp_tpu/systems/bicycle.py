@@ -51,15 +51,17 @@ class KinematicBicycle:
     # -- fused-kernel SoA hooks (systems.base.SoAStepMixin) ---------------
     def soa_prepare(self, ctrl: list[Array]) -> tuple[Array, ...]:
         a, steering = ctrl
-        # loop-invariant steering tangent, pre-scaled by 1/L (the reference
-        # recomputes tan every step, statePropagator.cu:36)
-        return a, jnp.tan(steering) * (1.0 / self.agent_length)
+        # loop-invariant steering tangent hoisted (the reference recomputes
+        # tan every step, statePropagator.cu:36). Kept UNscaled so soa_step's
+        # op order matches step() bitwise — (v/L)*tan*dt, not v*(tan/L)*dt —
+        # which the cross-backend valid-mask parity tests rely on.
+        return a, jnp.tan(steering)
 
     def soa_step(self, comps: list[Array], aux: tuple[Array, ...],
                  dt: Array) -> list[Array]:
         x, y, th, v = comps
-        a, tan_L = aux
+        a, tan_s = aux
         return [x + v * jnp.cos(th) * dt,
                 y + v * jnp.sin(th) * dt,
-                th + v * tan_L * dt,
+                th + (v / self.agent_length) * tan_s * dt,
                 v + a * dt]

@@ -53,12 +53,14 @@ def validate_state(state: KGMTState, cfg: KGMTConfig) -> dict:
     check((xy > 0).all() and (xy[:, 0] < cfg.width).all()
           and (xy[:, 1] < cfg.height).all(),
           "committed sample outside workspace")
-    # region stats are consistent: valid + invalid <= total per R1 cell
+    # region stats are exactly consistent: valid + invalid == total per R1
+    # cell (the root seed increments both valid and total, kgmt.py
+    # init_state; every wave adds touched to total and touched-valid to
+    # invalid)
     r1t = np.asarray(state.r1_total)
     r1v = np.asarray(state.r1_valid)
     r1i = np.asarray(state.r1_invalid)
-    check((r1v + r1i <= r1t + 1).all(),  # +1: root seed increments valid+total
-          "R1 valid+invalid exceeds total")
+    check((r1v + r1i == r1t).all(), "R1 valid+invalid != total")
     check((np.asarray(state.r1_avail) <= 1).all()
           and (np.asarray(state.r1_avail) >= 0).all(), "R1Avail not boolean")
     # solution consistency

@@ -27,6 +27,26 @@ def run_cli(*args, timeout=420):
     )
 
 
+def test_cli_flag_overrides_config_file_even_at_default_value(tmp_path):
+    """An explicit flag must beat --config even when its value equals the
+    dataclass default (e.g. --seed 0 over a file's seed: 42)."""
+    from cudasbmp_tpu.cli import _config_from_args, main  # noqa: F401
+    import argparse
+
+    from cudasbmp_tpu.config import KGMTConfig
+
+    cfg_file = tmp_path / "cfg.json"
+    KGMTConfig(seed=42, N=8, n=4).to_file(str(cfg_file))
+    parser = argparse.ArgumentParser()
+    from cudasbmp_tpu.cli import _add_config_args
+
+    _add_config_args(parser)
+    args = parser.parse_args(["--config", str(cfg_file), "--seed", "0"])
+    cfg = _config_from_args(args)
+    assert cfg.seed == 0  # explicit flag wins
+    assert cfg.N == 8 and cfg.n == 4  # unset flags defer to the file
+
+
 @pytest.mark.slow
 def test_cli_demo_solves(tmp_path):
     r = run_cli(

@@ -130,6 +130,22 @@ def test_dense_obstacle_scenario_solves(small_config):
         assert not inside.any()
 
 
+def test_tall_workspace_goal_beyond_grid(small_config):
+    """height > width: both grid axes use width-derived cells (KGMT.cu:13-14)
+    so valid samples at y > width fall OUTSIDE the region grid (r1 = -1).
+    They must be treated like virgin cells (always accepted), not borrow
+    cell 0's stats — otherwise a goal above y = width is unreachable."""
+    cfg = small_config.replace(width=10.0, height=30.0, num_iterations=150)
+    sc = Scenario(
+        init=np.array([5.0, 2.0, 0, 0, 0, 0, 0], np.float32),
+        goal=np.array([5.0, 25.0, 0, 0, 0, 0, 0], np.float32),
+        obstacles=np.array([[2.0, 12.0, 8.0, 13.0]], np.float32),
+    )
+    result = KGMT(cfg).plan(sc)
+    assert result.solved, "goal beyond the width-derived grid must be reachable"
+    assert result.path[-1][1] > 20.0
+
+
 def test_goal_biased_expansion_solves(small_config, demo_scenario):
     """goal_bias > 0 routes part of each wave to the top-k goal-nearest
     frontier nodes (lax.top_k NN selection). Must still solve, and across a

@@ -192,10 +192,11 @@ def main(argv: list[str] | None = None) -> int:
         from cudasbmp_tpu.io.csv import load_scenario
 
         scenario, grid_params = load_scenario(args.configurations)
-        # the configurations/ numR1/numR2 CSVs set the grid unless flags do
-        if args.N is None:
+        # a PRESENT numR1/numR2 CSV sets the grid unless flags do; an absent
+        # one defers to --config / defaults
+        if args.N is None and grid_params["N"] is not None:
             args.N = grid_params["N"]
-        if args.n is None:
+        if args.n is None and grid_params["n"] is not None:
             args.n = grid_params["n"]
         return _run_plan(args, scenario)
 

@@ -53,19 +53,22 @@ def read_obstacles_csv(path: str | os.PathLike) -> np.ndarray:
     return rows.reshape(-1, 4)
 
 
-def _read_scalar_csv(path: Path, default: int) -> int:
+def _read_scalar_csv(path: Path) -> int | None:
+    """First value of a one-number CSV; None when the file is absent (so
+    callers can tell 'directory specifies a grid' from 'no opinion')."""
     if not path.exists():
-        return default
+        return None
     txt = path.read_text().strip().split(",")[0].strip()
-    return int(float(txt)) if txt else default
+    return int(float(txt)) if txt else None
 
 
 def load_scenario(config_dir: str | os.PathLike) -> tuple[Scenario, dict]:
     """Load a full scenario from a ``configurations/``-layout directory.
 
-    Returns (scenario, grid_params) where grid_params carries numR1/numR2 if
-    the corresponding CSVs exist (the reference stores N in numR1/numR1.csv
-    and n in R2/numR2.csv).
+    Returns (scenario, grid_params) where grid_params carries numR1/numR2
+    values when the corresponding CSVs exist (the reference stores N in
+    numR1/numR1.csv and n in R2/numR2.csv) and None when they don't — absent
+    files must not override a config file's grid settings.
     """
     d = Path(config_dir)
     scenario = Scenario(
@@ -74,8 +77,8 @@ def load_scenario(config_dir: str | os.PathLike) -> tuple[Scenario, dict]:
         obstacles=read_obstacles_csv(d / "obstacles" / "obstacles.csv"),
     )
     grid_params = {
-        "N": _read_scalar_csv(d / "numR1" / "numR1.csv", 16),
-        "n": _read_scalar_csv(d / "R2" / "numR2.csv", 8),
+        "N": _read_scalar_csv(d / "numR1" / "numR1.csv"),
+        "n": _read_scalar_csv(d / "R2" / "numR2.csv"),
     }
     return scenario, grid_params
 

@@ -13,9 +13,10 @@ AoS float7 layout would be poison here). The obstacle set (K x 4 floats)
 is broadcast from VMEM.
 
 The kernel is GENERIC over dynamics: any system exposing the SoA hooks
-``soa_prepare`` (per-rollout precomputation — e.g. the bicycle hoists
-``tan(steering)/L``, which the reference recomputes every step,
-statePropagator.cu:36) and ``soa_step`` (one Euler step on per-component
+``soa_prepare`` (per-rollout precomputation — e.g. the bicycle hoists the
+unscaled ``tan(steering)``, which the reference recomputes every step,
+statePropagator.cu:36; kept unscaled so the step's float-op order matches
+the jnp path bitwise) and ``soa_step`` (one Euler step on per-component
 arrays) gets the fused path; see systems.base.SoAStepMixin. Two variants:
 
 - ``rollout_pallas``: controls supplied by the caller (threefry streams).

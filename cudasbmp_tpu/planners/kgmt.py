@@ -121,7 +121,13 @@ def init_state(cfg: KGMTConfig, grid: RegionGrid, init: Array, key: Array) -> KG
     r1_0, r2_0 = grid.region_indices(init[0:2][None, :])
     r1_0, r2_0 = r1_0[0], r2_0[0]
     nr1, nr2 = cfg.num_r1, cfg.num_r2
-    one = jnp.ones((), jnp.int32)
+    # A root OUTSIDE the region grid (tall workspace: height > width, both
+    # grid axes width-derived) yields r1_0 = -1; writing 0 at a clamped index
+    # is a no-op, avoiding JAX negative-index wrap to the LAST cell.
+    one = (r1_0 >= 0).astype(jnp.int32)
+    one_r2 = (r2_0 >= 0).astype(jnp.int32)
+    r1_0 = jnp.maximum(r1_0, 0)
+    r2_0 = jnp.maximum(r2_0, 0)
     zeros_r1 = jnp.zeros(nr1, jnp.int32)
     zeros_r2 = jnp.zeros(nr2, jnp.int32)
     # Metrics arrays must be non-empty even for a zero-iteration budget: the
@@ -141,7 +147,7 @@ def init_state(cfg: KGMTConfig, grid: RegionGrid, init: Array, key: Array) -> KG
         r2_total=zeros_r2,
         r2_valid=zeros_r2,
         r2_invalid=zeros_r2,
-        r2_avail=zeros_r2.at[r2_0].set(one),
+        r2_avail=zeros_r2.at[r2_0].set(one_r2),
         r1_threshold=jnp.zeros((), jnp.float32),
         cost_to_goal=jnp.array(jnp.inf, jnp.float32),
         goal_node=jnp.full((), -1, jnp.int32),
@@ -373,15 +379,14 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
         r1_safe = jnp.maximum(r1, 0)
         r2_safe = jnp.maximum(r2, 0)
         # Valid children OUTSIDE the region grid (possible when height >
-        # width: both axes use width-derived cells, KGMT.cu:13-14) score like
-        # never-touched cells (1.0 -> always accepted) instead of borrowing
-        # cell 0's stats. The reference would index its arrays at -1 here
-        # (UB, SURVEY.md §2.4.7).
-        child_score = jnp.where(r1 >= 0, r1_score[r1_safe], 1.0)
+        # width: both axes use width-derived cells, KGMT.cu:13-14) are always
+        # accepted via the virgin term below — r1 < 0 implies r2 < 0
+        # (grid.py r2_index) — instead of borrowing cell 0's stats. The
+        # reference would index its arrays at -1 here (UB, SURVEY.md §2.4.7).
         virgin_r2 = (r2 < 0) | (s_score.r2_avail[r2_safe] == 0)  # pre-wave
         # snapshot (deterministic stand-in for the reference's racy read of
         # concurrently-updated flags)
-        accept = valid & ((u <= child_score) | virgin_r2)
+        accept = valid & ((u <= r1_score[r1_safe]) | virgin_r2)
 
     # --- commit (updateG, KGMT.cu:540-593) with correct capacity clamp ----
     with jax.named_scope("kgmt_commit"):

@@ -146,6 +146,21 @@ def test_tall_workspace_goal_beyond_grid(small_config):
     assert result.path[-1][1] > 20.0
 
 
+def test_off_grid_root_seeds_no_phantom_stats():
+    """A root above y = width (tall workspace) has r1 = -1; its region seed
+    must be a no-op, not a negative-index wrap into the LAST grid cell."""
+    import jax
+
+    cfg = KGMTConfig(width=10.0, height=30.0, max_tree_size=64,
+                     rollouts_per_iter=32)
+    grid = RegionGrid(width=cfg.width, height=cfg.height, N=cfg.N, n=cfg.n)
+    init = jnp.array([5.0, 25.0, 0, 0, 0, 0, 0], jnp.float32)
+    s0 = init_state(cfg, grid, init, jax.random.key(0))
+    assert int(jnp.asarray(s0.r1_total).sum()) == 0
+    assert int(jnp.asarray(s0.r1_avail).sum()) == 0
+    assert int(jnp.asarray(s0.r2_avail).sum()) == 0
+
+
 def test_goal_biased_expansion_solves(small_config, demo_scenario):
     """goal_bias > 0 routes part of each wave to the top-k goal-nearest
     frontier nodes (lax.top_k NN selection). Must still solve, and across a

@@ -77,6 +77,8 @@ class ShardedTreeResult:
     wall_time_s: float
     path: np.ndarray
     path_lengths_by_shard: np.ndarray
+    r1_scores_by_shard: np.ndarray  # [n_shards, N*N] — identical rows iff
+    # the psum'd global-guidance loop is intact
 
 
 class ShardedTreePlanner:
@@ -100,9 +102,13 @@ class ShardedTreePlanner:
             final = kgmt_run_sharded(cfg, sys_, grid, goal, obstacles, s0,
                                      "tree")
             nodes, samples, length = extract_path(cfg, final)
-            # leave per-shard results; host reduces (small arrays)
+            # leave per-shard results; host reduces (small arrays).
+            # r1_score is computed from the psum'd GLOBAL stats, so every
+            # shard must hold an identical copy — returned per shard as a
+            # testable witness of the collective guidance loop.
             return (final.cost_to_goal[None], final.tree_size[None],
-                    final.itr[None], samples[None], length[None])
+                    final.itr[None], samples[None], length[None],
+                    final.r1_score[None])
 
         self._solve = jax.jit(
             jax.shard_map(
@@ -110,7 +116,7 @@ class ShardedTreePlanner:
                 mesh=mesh,
                 in_specs=(P(), P(), P(), P()),
                 out_specs=(P("tree"), P("tree"), P("tree"), P("tree"),
-                           P("tree")),
+                           P("tree"), P("tree")),
                 # the rollout scan carry transitions replicated->varying on
                 # the first committed wave; skip the static VMA check
                 check_vma=False,
@@ -123,7 +129,7 @@ class ShardedTreePlanner:
         obstacles, _ = scenario.padded_obstacles(cfg.max_obstacles)
         key = jax.random.key(cfg.seed if seed is None else seed)
         t0 = time.perf_counter()
-        costs, sizes, iters, paths, lengths = jax.block_until_ready(
+        costs, sizes, iters, paths, lengths, scores = jax.block_until_ready(
             self._solve(jnp.asarray(scenario.init), jnp.asarray(scenario.goal),
                         jnp.asarray(obstacles), key)
         )
@@ -143,4 +149,5 @@ class ShardedTreePlanner:
             wall_time_s=wall,
             path=path,
             path_lengths_by_shard=lengths,
+            r1_scores_by_shard=np.asarray(scores),
         )

@@ -92,6 +92,15 @@ def test_sharded_tree_solves_and_uses_global_stats():
     # end of best path is in the goal region
     d = np.hypot(res.path[-1, 0] - 2.0, res.path[-1, 1] - 18.0)
     assert d < cfg.goal_threshold
+    # the collective guidance loop: every shard scores regions from the SAME
+    # psum'd global statistics, so all per-shard score vectors are identical
+    scores = res.r1_scores_by_shard
+    assert scores.shape[0] == 8
+    for i in range(1, 8):
+        np.testing.assert_array_equal(scores[0], scores[i])
+    # and the scores reflect MORE than one shard's local view: global totals
+    # summed over shards exceed any single shard's budget
+    assert res.total_tree_size > cfg.max_tree_size // 2
 
 
 @pytest.mark.slow

@@ -88,10 +88,17 @@ class MultiQueryPlanner:
             jax.random.key(seed), jnp.arange(B)
         )
         t0 = time.perf_counter()
-        costs, tree_sizes, iters, samples, lengths = jax.block_until_ready(
+        outs = jax.block_until_ready(
             self._solve(jnp.asarray(inits), jnp.asarray(goals),
                         jnp.asarray(obstacles), keys)
         )
+        if not outs[0].is_fully_addressable:
+            # multi-host: replicate results so every controller returns the
+            # full batch (every process passed the same global inputs)
+            rep = NamedSharding(self.mesh, P())
+            outs = jax.jit(lambda *xs: xs,
+                           out_shardings=(rep,) * len(outs))(*outs)
+        costs, tree_sizes, iters, samples, lengths = outs
         wall = time.perf_counter() - t0
         costs = np.asarray(costs)
         return MultiQueryResult(

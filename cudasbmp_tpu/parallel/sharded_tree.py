@@ -129,10 +129,18 @@ class ShardedTreePlanner:
         obstacles, _ = scenario.padded_obstacles(cfg.max_obstacles)
         key = jax.random.key(cfg.seed if seed is None else seed)
         t0 = time.perf_counter()
-        costs, sizes, iters, paths, lengths, scores = jax.block_until_ready(
+        outs = jax.block_until_ready(
             self._solve(jnp.asarray(scenario.init), jnp.asarray(scenario.goal),
                         jnp.asarray(obstacles), key)
         )
+        if not outs[0].is_fully_addressable:
+            # multi-host: the per-shard outputs live across processes;
+            # replicate them (an all-gather over DCN — small arrays) so every
+            # controller can reduce on the host below
+            rep = NamedSharding(self.mesh, P())
+            outs = jax.jit(lambda *xs: xs,
+                           out_shardings=(rep,) * len(outs))(*outs)
+        costs, sizes, iters, paths, lengths, scores = outs
         wall = time.perf_counter() - t0
         costs = np.asarray(costs)
         best = int(np.argmin(np.where(np.isfinite(costs), costs, np.inf)))

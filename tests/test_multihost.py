@@ -68,6 +68,21 @@ WORKER = textwrap.dedent(
     )(costs)
     print(f"proc{proc_id}: solved={int(solved)}/8", flush=True)
     assert int(solved) >= 4
+
+    # --- sharded-tree across processes: the region-stats psum rides the
+    # cross-process (DCN-analog) link every iteration -----------------------
+    from cudasbmp_tpu.parallel.sharded_tree import ShardedTreePlanner
+    cfg2 = KGMTConfig(num_iterations=60, max_tree_size=2048,
+                      rollouts_per_iter=512)
+    tree_mesh = make_planner_mesh(n_scenario=1, n_tree=8)
+    st = ShardedTreePlanner(cfg2, mesh=tree_mesh)
+    r = st.plan(Scenario.demo())
+    assert r.solved, "sharded tree must solve across 2 processes"
+    sc = r.r1_scores_by_shard
+    assert sc.shape == (8, 256)
+    for i in range(1, 8):
+        assert (sc[0] == sc[i]).all(), "shards disagree on global scores"
+    print(f"proc{proc_id}: sharded-tree cost={r.cost:.3f}", flush=True)
     print(f"proc{proc_id}: MULTIHOST_OK", flush=True)
     """
 ) % str(REPO)

@@ -45,3 +45,19 @@ def test_shortcut_rejects_trivial_path(small_config, demo_scenario):
         shortcut_path(planner.system, small_config,
                       np.zeros((1, 7), np.float32), demo_scenario.goal,
                       demo_scenario.obstacles)
+
+
+@pytest.mark.slow
+def test_shortcut_generic_over_systems(small_config, demo_scenario):
+    """The suffix replay broadcasts the stored control at the system's own
+    control dimension (regression for a hardcoded 3)."""
+    # narrower wave: point2d needs ~41 iterations; at 2048/iter the tree
+    # fills before the goal is reached
+    cfg = small_config.replace(system="point2d", rollouts_per_iter=1024)
+    planner = KGMT(cfg)
+    result = planner.plan(demo_scenario)
+    assert result.solved
+    out = shortcut_path(planner.system, cfg, result.path,
+                        demo_scenario.goal, demo_scenario.obstacles,
+                        ShortcutConfig(rounds=16, candidates=64))
+    assert out["cost_after"] <= out["cost_before"] + 1e-5

@@ -120,12 +120,14 @@ def measure_prop_throughput(batch: int = BATCH, repeats: int | None = None,
     }
 
 
-def measure_time_to_solution(rollout_backend: str = "auto") -> dict:
+def measure_time_to_solution(rollout_backend: str = "auto",
+                             goal_bias: float = 0.0) -> dict:
     """Wall time to first solution on the reference demo workload."""
     from cudasbmp_tpu.config import KGMTConfig, Scenario
     from cudasbmp_tpu.planners.kgmt import KGMT
 
-    planner = KGMT(KGMTConfig(rollout_backend=rollout_backend))
+    planner = KGMT(KGMTConfig(rollout_backend=rollout_backend,
+                              goal_bias=goal_bias))
     # compile + warm the chip once (excluded, like the reference's in-plan
     # clock which also excludes CUDA compile)
     planner.plan(Scenario.demo())
@@ -258,6 +260,8 @@ def main() -> None:
     mq = maybe(measure_multi_query) if on_tpu else None
     thr_dense = (maybe(measure_prop_throughput, backend="pallas_rng",
                        dense=True) if on_tpu else None)
+    tts_biased = (maybe(measure_time_to_solution, "pallas_rng",
+                        goal_bias=0.3) if on_tpu else None)
     cpu = cpu_baseline()
     value = best["valid_per_sec"]
     target = 10.0 * cpu if cpu == cpu else float("nan")  # >=10x CPU baseline
@@ -283,6 +287,10 @@ def main() -> None:
             "multi_query_256": mq,
             "dense24_valid_per_sec": round(thr_dense["valid_per_sec"], 1)
             if thr_dense else None,
+            "tts_goal_biased": {
+                "tts_s": tts_biased["tts_s"], "cost": tts_biased["cost"],
+                "solve_rate": tts_biased["solve_rate"],
+            } if tts_biased else None,
         },
     }
     print(json.dumps(result))

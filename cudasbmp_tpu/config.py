@@ -65,6 +65,11 @@ class KGMTConfig:
     keep_frontier_on_stall: bool = True
     # Static capacity of the obstacle set (scenarios pad up to this).
     max_obstacles: int = 32
+    # Anytime mode (beyond-reference): the reference breaks at the FIRST
+    # solution (feasibility search, KGMT.cu:251-254). False keeps iterating
+    # through the full budget, retaining the cheapest goal hit seen (the
+    # goal check already tracks the min-cost hit per wave).
+    stop_on_first_solution: bool = True
     # Goal-biased expansion (beyond-reference extension; 0.0 = off, exact
     # reference semantics): this fraction of each wave's rollout slots draws
     # parents from the goal_bias_k frontier nodes NEAREST the goal, selected

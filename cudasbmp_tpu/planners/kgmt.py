@@ -462,7 +462,8 @@ def kgmt_run(cfg: KGMTConfig, system, grid: RegionGrid, goal: Array,
     state continues the exact same trajectory (resume support)."""
 
     def cond(s: KGMTState) -> Array:
-        solved = jnp.isfinite(s.cost_to_goal)
+        solved = (jnp.isfinite(s.cost_to_goal)
+                  if cfg.stop_on_first_solution else jnp.zeros((), bool))
         full = s.tree_size >= cfg.max_tree_size
         dead = jnp.zeros((), bool) if cfg.keep_frontier_on_stall else s.stalled
         return (s.itr < cfg.num_iterations) & ~solved & ~full & ~dead
@@ -655,8 +656,9 @@ class KGMT(Planner):
             if checkpoint_every and (i + 1) % checkpoint_every == 0:
                 save_checkpoint(state, out / f"checkpoint_{i + 1}.npz")
             # same termination tests as kgmt_run's cond (incl. the stall
-            # check when frontier retry is disabled)
-            if bool(np.isfinite(np.asarray(state.cost_to_goal))) or \
+            # check when frontier retry is disabled and the anytime flag)
+            solved_now = bool(np.isfinite(np.asarray(state.cost_to_goal)))
+            if (cfg.stop_on_first_solution and solved_now) or \
                int(state.tree_size) >= cfg.max_tree_size or \
                (not cfg.keep_frontier_on_stall and bool(state.stalled)):
                 break

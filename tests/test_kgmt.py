@@ -146,6 +146,19 @@ def test_tall_workspace_goal_beyond_grid(small_config):
     assert result.path[-1][1] > 20.0
 
 
+def test_anytime_mode_improves_or_matches_first_solution(small_config,
+                                                         demo_scenario):
+    """stop_on_first_solution=False keeps planning through the budget and
+    retains the cheapest goal hit — never worse than the first one."""
+    first = KGMT(small_config).plan(demo_scenario)
+    anytime = KGMT(
+        small_config.replace(stop_on_first_solution=False)
+    ).plan(demo_scenario)
+    assert first.solved and anytime.solved
+    assert anytime.cost <= first.cost + 1e-6
+    assert anytime.iterations >= first.iterations
+
+
 def test_off_grid_root_seeds_no_phantom_stats():
     """A root above y = width (tall workspace) has r1 = -1; its region seed
     must be a no-op, not a negative-index wrap into the LAST grid cell."""

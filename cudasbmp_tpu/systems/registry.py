@@ -8,7 +8,9 @@ from typing import Callable
 from cudasbmp_tpu.systems.base import System
 from cudasbmp_tpu.systems.bicycle import KinematicBicycle
 from cudasbmp_tpu.systems.double_integrator import DoubleIntegrator2D
+from cudasbmp_tpu.systems.dubins import DubinsCar
 from cudasbmp_tpu.systems.point2d import Point2D
+from cudasbmp_tpu.systems.unicycle import Unicycle
 
 _REGISTRY: dict[str, Callable[..., System]] = {}
 
@@ -31,3 +33,5 @@ register_system("bicycle", KinematicBicycle)
 register_system("car", KinematicBicycle)  # alias matching systems/car.yaml intent
 register_system("point2d", Point2D)
 register_system("double_integrator", DoubleIntegrator2D)
+register_system("unicycle", Unicycle)
+register_system("dubins", DubinsCar)

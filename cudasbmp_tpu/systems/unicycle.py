@@ -1,0 +1,62 @@
+"""Differential-drive unicycle — velocity/turn-rate controlled planar robot.
+
+Not in the reference (which hardcodes one bicycle system,
+statePropagator.cu:31-48); included because the systems registry makes new
+dynamics a drop-in (the intent behind the reference's empty systems/car.yaml).
+State (x, y, theta, 0); controls (v, omega) plus duration:
+
+    x     += v * cos(theta) * dt        # pre-step theta, like the bicycle
+    y     += v * sin(theta) * dt
+    theta += omega * dt
+
+The 4th state slot is zero-padded so the shared 7-float sample layout
+(SAMPLE_DIM, State.h:13-19) holds for every system.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from cudasbmp_tpu.systems.base import ControlSpec
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Unicycle:
+    name: str = "unicycle"
+    state_dim: int = 4
+    control_spec: ControlSpec = dataclasses.field(
+        default_factory=lambda: ControlSpec(
+            lo=(-2.0, -math.pi, 0.05),
+            hi=(2.0, math.pi, 1.05),
+        )
+    )
+
+    def step(self, state: Array, control: Array, dt: Array) -> Array:
+        x, y, theta = (state[..., i] for i in range(3))
+        v, omega = control[..., 0], control[..., 1]
+        new_x = x + v * jnp.cos(theta) * dt
+        new_y = y + v * jnp.sin(theta) * dt
+        new_theta = theta + omega * dt
+        return jnp.stack(
+            [new_x, new_y, new_theta, jnp.zeros_like(new_x)], axis=-1
+        )
+
+    # -- fused-kernel SoA hooks (systems.base.SoAStepMixin) ---------------
+    def soa_prepare(self, ctrl: list[Array]) -> tuple[Array, ...]:
+        v, omega = ctrl
+        return v, omega
+
+    def soa_step(self, comps: list[Array], aux: tuple[Array, ...],
+                 dt: Array) -> list[Array]:
+        x, y, th, z = comps
+        v, omega = aux
+        return [x + v * jnp.cos(th) * dt,
+                y + v * jnp.sin(th) * dt,
+                th + omega * dt,
+                jnp.zeros_like(z)]

@@ -275,6 +275,29 @@ def test_double_integrator_solves(small_config):
 
 
 @pytest.mark.slow
+def test_unicycle_solves(small_config):
+    # |v| <= 2 covers ground slowly; needs point2d-scale tree budget
+    cfg = small_config.replace(system="unicycle", max_tree_size=30000,
+                               rollouts_per_iter=4096)
+    result = KGMT(cfg).plan(Scenario.demo())
+    assert result.solved
+
+
+@pytest.mark.slow
+def test_dubins_solves(small_config):
+    """Forward-only curvature car: harder to steer, give it more budget."""
+    cfg = small_config.replace(system="dubins", max_tree_size=30000,
+                               rollouts_per_iter=4096)
+    result = KGMT(cfg).plan(Scenario.demo())
+    assert result.solved
+    # forward-only: every edge displacement <= v_max * duration
+    p = result.path
+    for i in range(1, len(p)):
+        d = np.hypot(p[i, 0] - p[i - 1, 0], p[i, 1] - p[i - 1, 1])
+        assert d <= 2.0 * p[i, 6] + 1e-5
+
+
+@pytest.mark.slow
 def test_cost_distribution_band(small_config, demo_scenario):
     """Statistical parity methodology (SURVEY.md §7 hard-part 3): solution
     costs across seeds fall in a tolerance band, not bitwise equality."""

@@ -13,7 +13,13 @@ from cudasbmp_tpu.ops.rollout_pallas import (
     rollout_pallas,
     supports_system,
 )
-from cudasbmp_tpu.systems import DoubleIntegrator2D, KinematicBicycle, Point2D
+from cudasbmp_tpu.systems import (
+    DoubleIntegrator2D,
+    DubinsCar,
+    KinematicBicycle,
+    Point2D,
+    Unicycle,
+)
 
 
 @pytest.mark.parametrize("batch", [64, 1024])
@@ -72,6 +78,8 @@ def test_supports_system():
     assert supports_system(KinematicBicycle())
     assert supports_system(Point2D())
     assert supports_system(DoubleIntegrator2D())
+    assert supports_system(Unicycle())
+    assert supports_system(DubinsCar())
 
     class NoHooks:
         pass
@@ -79,8 +87,11 @@ def test_supports_system():
     assert not supports_system(NoHooks())
 
 
-@pytest.mark.parametrize("system", [Point2D(), DoubleIntegrator2D()],
-                         ids=["point2d", "double_integrator"])
+@pytest.mark.parametrize(
+    "system",
+    [Point2D(), DoubleIntegrator2D(), Unicycle(), DubinsCar()],
+    ids=["point2d", "double_integrator", "unicycle", "dubins"],
+)
 def test_generic_pallas_matches_jnp_rollout(system, rng):
     """The generic kernel template reproduces the jnp path for every
     SoA-capable system, not just the flagship bicycle."""

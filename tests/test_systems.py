@@ -11,8 +11,10 @@ import pytest
 
 from cudasbmp_tpu.systems import (
     DoubleIntegrator2D,
+    DubinsCar,
     KinematicBicycle,
     Point2D,
+    Unicycle,
     available_systems,
     get_system,
 )
@@ -80,10 +82,67 @@ def test_point2d_and_double_integrator_step():
     np.testing.assert_allclose(np.array(s), [0.5, 1.0, 1.5, 2.5], rtol=1e-6)
 
 
+def test_unicycle_step():
+    u = Unicycle()
+    # straight line when omega = 0
+    s = u.step(jnp.array([1.0, 1.0, 0.0, 0.0]), jnp.array([2.0, 0.0]), 0.5)
+    np.testing.assert_allclose(np.array(s), [2.0, 1.0, 0.0, 0.0], rtol=1e-6)
+    # pure rotation when v = 0
+    s = u.step(jnp.array([1.0, 1.0, 0.0, 0.0]), jnp.array([0.0, 1.0]), 0.5)
+    np.testing.assert_allclose(np.array(s), [1.0, 1.0, 0.5, 0.0], rtol=1e-6)
+
+
+def test_unicycle_closes_circle():
+    """Integrating v=r*omega for a full period traces a circle back to the
+    start (up to Euler error ~ O(dt))."""
+    u = Unicycle()
+    v, omega = 1.0, 1.0  # radius 1 circle, period 2*pi
+    n = 4000
+    dt = jnp.float32(2 * math.pi / n)
+    state = jnp.array([0.0, 0.0, 0.0, 0.0])
+    control = jnp.array([v, omega])
+
+    def body(s, _):
+        return u.step(s, control, dt), None
+
+    final, _ = jax.lax.scan(body, state, None, length=n)
+    final = np.array(final)
+    assert abs(final[0]) < 0.01 and abs(final[1]) < 0.01
+    # f32 accumulation of 4000 dt additions drifts ~4e-5 relative
+    np.testing.assert_allclose(final[2], 2 * math.pi, rtol=1e-3)
+
+
+def test_dubins_turn_radius_speed_invariant():
+    """theta' = v*kappa: arc length per unit heading change is 1/kappa
+    regardless of speed — the defining Dubins property."""
+    d = DubinsCar()
+    n = 2000
+    for v in (0.5, 2.0):
+        dt = jnp.float32((math.pi / 2) / (v * 1.0) / n)  # quarter turn
+        state = jnp.array([0.0, 0.0, 0.0, 0.0])
+        control = jnp.array([v, 1.0])  # kappa = 1 -> radius 1
+
+        def body(s, _):
+            return d.step(s, control, dt), None
+
+        final, _ = jax.lax.scan(body, state, None, length=n)
+        final = np.array(final)
+        # quarter circle of radius 1 from origin heading +x ends near (1, 1)
+        np.testing.assert_allclose(final[0], 1.0, atol=0.01)
+        np.testing.assert_allclose(final[1], 1.0, atol=0.01)
+
+
+def test_dubins_forward_only_sampling():
+    c = np.array(DubinsCar().control_spec.sample(jax.random.key(0), (4096,)))
+    assert c[:, 0].min() >= 0.25  # speed never negative or zero
+
+
 def test_registry():
     assert "bicycle" in available_systems()
     assert "car" in available_systems()
     assert get_system("car").name == "bicycle"
     assert get_system("bicycle", agent_length=2.0).agent_length == 2.0
+    assert get_system("unicycle").name == "unicycle"
+    assert get_system("dubins").name == "dubins"
     with pytest.raises(KeyError):
         get_system("warp_drive")

@@ -78,6 +78,14 @@ class KGMTConfig:
     # keeps the uniform round-robin assignment.
     goal_bias: float = 0.0
     goal_bias_k: int = 32
+    # Narrow-phase collision (beyond-reference; 0.0 = off, exact reference
+    # broad-phase-only semantics): when > 0, every post-step pose also tests
+    # the agent's oriented rectangular body — agent_length long (the
+    # reference Agent's wheelbase doubles as its body length, Agent.h:6-26),
+    # this wide, extending forward from the pose point — against every
+    # obstacle (geometry/footprint.py). Realizes the footprint the
+    # reference's host Agent carries but never consults.
+    footprint_width: float = 0.0
     # Rollout implementation: 'auto' uses the fused Pallas kernel on TPU for
     # supported systems and the XLA-fused jnp path elsewhere; 'pallas'/'jnp'
     # force one (pallas on CPU runs in interpret mode — tests only);
@@ -103,8 +111,20 @@ class KGMTConfig:
             problems.append("goal_bias must be in [0, 1]")
         if self.goal_bias_k < 1:
             problems.append("goal_bias_k must be >= 1")
+        if self.footprint_width < 0:
+            problems.append("footprint_width must be >= 0")
         if problems:
             raise ValueError("invalid KGMTConfig: " + "; ".join(problems))
+
+    @property
+    def footprint(self) -> tuple[float, float] | None:
+        """Narrow-phase body half-dims (half_len, half_wid) for
+        geometry/footprint.py, or None when footprint_width == 0 (the
+        reference's broad-phase-only semantics). Length is the agent
+        wheelbase — the rectangle models.Agent carries (Agent.h:6-26)."""
+        if self.footprint_width <= 0.0:
+            return None
+        return (self.agent_length / 2.0, self.footprint_width / 2.0)
 
     @property
     def r1_size(self) -> float:

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from cudasbmp_tpu.geometry.aabb import segment_aabb, segment_clear
+from cudasbmp_tpu.geometry.footprint import footprint_clear
 from cudasbmp_tpu.systems.base import System
 
 Array = jax.Array
@@ -39,8 +40,17 @@ def rollout_batch(
     obstacles: Array,  # [K, 4] AABBs (padding rows may be degenerate)
     width: float,
     height: float,
+    footprint: tuple[float, float] | None = None,
 ) -> tuple[Array, Array]:
     """Integrate B rollouts for num_disc steps with per-step validity checks.
+
+    With ``footprint=(half_len, half_wid)`` the narrow-phase oriented-body
+    test (geometry/footprint.py, beyond-reference) runs at every post-step
+    pose IN ADDITION to the reference's point-swept broad phase: a step is
+    invalid if the swept center segment's AABB hits an obstacle (tunneling
+    guard, exact reference semantics) OR the agent's rectangle at the new
+    pose does. The body heading comes from ``system.heading_index`` (0.0 —
+    axis-aligned — for systems without one).
 
     Returns (x1, valid): final states [B, state_dim] (frozen at the failing
     step for invalid rollouts) and the motion-valid mask [B].
@@ -48,6 +58,7 @@ def rollout_batch(
     duration = controls[:, -1]
     ctrl = controls[:, :-1]
     dt = duration / num_disc
+    heading_index = getattr(system, "heading_index", None)
 
     def step(carry, _):
         state, alive = carry
@@ -60,6 +71,12 @@ def rollout_batch(
         bb_min, bb_max = segment_aabb(state[:, 0:2], cand[:, 0:2])
         clear = segment_clear(bb_min, bb_max, obstacles)
         step_ok = in_bounds & clear
+        if footprint is not None:
+            theta = (cand[:, heading_index] if heading_index is not None
+                     else jnp.zeros_like(x))
+            step_ok = step_ok & footprint_clear(
+                x, y, theta, footprint[0], footprint[1], obstacles
+            )
         new_state = jnp.where(alive[:, None], cand, state)
         new_alive = alive & step_ok
         return (new_state, new_alive), None

@@ -54,18 +54,22 @@ def supports_system(system) -> bool:
 
 
 def _integrate(system, comps, ctrl, dur, obs, num_disc: int,
-               width: float, height: float):
-    """Shared kernel body: unrolled Euler loop + per-step swept-AABB tests.
+               width: float, height: float,
+               footprint: tuple[float, float] | None = None):
+    """Shared kernel body: unrolled Euler loop + per-step swept-AABB tests
+    (+ the optional oriented-footprint narrow phase, geometry/footprint.py).
 
     Break-semantics parity with the reference (statePropagator.cu:31-65):
     dead lanes freeze at their failing-step candidate position. dt uses a
     true division (not reciprocal-multiply) so the kernel's float math is
     bitwise-identical to the jnp path (rollout.py:50) — the parity tests
-    compare valid masks with assert_array_equal.
+    compare valid masks with assert_array_equal. The footprint math below
+    mirrors footprint_clear's op order for the same reason.
     """
     dt = dur / num_disc
     aux = system.soa_prepare(ctrl)
     alive = jnp.ones_like(comps[0], dtype=jnp.bool_)
+    heading_index = getattr(system, "heading_index", None)
     for _ in range(num_disc):
         new = system.soa_step(comps, aux, dt)
         nx, ny, x, y = new[0], new[1], comps[0], comps[1]
@@ -79,13 +83,37 @@ def _integrate(system, comps, ctrl, dur, obs, num_disc: int,
             sep = ((bb_max_x <= oxmin) | (oxmax <= bb_min_x)
                    | (bb_max_y <= oymin) | (oymax <= bb_min_y))
             clear = clear & sep
+        if footprint is not None:
+            hl, hw = footprint
+            theta = (new[heading_index] if heading_index is not None
+                     else jnp.zeros_like(nx))
+            ct = jnp.cos(theta)
+            st = jnp.sin(theta)
+            fcx = nx + hl * ct
+            fcy = ny + hl * st
+            act, ast = jnp.abs(ct), jnp.abs(st)
+            for (oxmin, oymin, oxmax, oymax) in obs:
+                bcx = (oxmin + oxmax) * 0.5
+                bcy = (oymin + oymax) * 0.5
+                bhx = (oxmax - oxmin) * 0.5
+                bhy = (oymax - oymin) * 0.5
+                valid_box = (bhx > 0) & (bhy > 0)
+                dx = fcx - bcx
+                dy = fcy - bcy
+                sep_x = jnp.abs(dx) >= bhx + hl * act + hw * ast
+                sep_y = jnp.abs(dy) >= bhy + hl * ast + hw * act
+                sep_u = jnp.abs(dx * ct + dy * st) >= hl + bhx * act + bhy * ast
+                sep_v = jnp.abs(dy * ct - dx * st) >= hw + bhx * ast + bhy * act
+                hit = valid_box & ~(sep_x | sep_y | sep_u | sep_v)
+                clear = clear & ~hit
         comps = [jnp.where(alive, n, c) for n, c in zip(new, comps)]
         alive = alive & clear
     return comps, alive
 
 
 def _rollout_kernel(system, num_disc: int, num_obstacles: int,
-                    width: float, height: float, S: int, C: int, *refs):
+                    width: float, height: float, S: int, C: int,
+                    footprint, *refs):
     """refs: S state + C control + dur + obstacles | S out-state + valid."""
     state_refs = refs[:S]
     ctrl_refs = refs[S:S + C]
@@ -100,7 +128,7 @@ def _rollout_kernel(system, num_disc: int, num_obstacles: int,
     obs = [(obs_ref[k, 0], obs_ref[k, 1], obs_ref[k, 2], obs_ref[k, 3])
            for k in range(num_obstacles)]
     comps, alive = _integrate(system, comps, ctrl, dur_ref[:], obs,
-                              num_disc, width, height)
+                              num_disc, width, height, footprint)
     for ref, c in zip(out_refs, comps):
         ref[:] = c
     valid_ref[:] = alive.astype(jnp.int32)
@@ -114,7 +142,7 @@ def _tile_spec(block_rows: int):
 @functools.partial(
     jax.jit,
     static_argnames=("system", "num_disc", "width", "height", "interpret",
-                     "block_rows"),
+                     "block_rows", "footprint"),
 )
 def rollout_pallas(
     system,
@@ -127,9 +155,11 @@ def rollout_pallas(
     height: float,
     interpret: bool = False,
     block_rows: int = BLOCK_ROWS,
+    footprint: tuple[float, float] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused rollout for any SoA-capable system. Same contract as
-    ops.rollout.rollout_batch: returns (x1 [B, state_dim], valid [B]).
+    ops.rollout.rollout_batch (including the optional oriented-footprint
+    narrow phase): returns (x1 [B, state_dim], valid [B]).
 
     B is padded internally to a multiple of the kernel block (8192 lanes).
     """
@@ -155,7 +185,7 @@ def rollout_pallas(
                  + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)])
 
     kernel = functools.partial(
-        _rollout_kernel, system, num_disc, K, width, height, S, C
+        _rollout_kernel, system, num_disc, K, width, height, S, C, footprint
     )
     outs = pl.pallas_call(
         kernel,
@@ -201,7 +231,7 @@ def _uniform_from_bits(bits, lo: float, hi: float):
 
 def _rollout_rng_kernel(system, num_disc: int, num_obstacles: int,
                         width: float, height: float, S: int, C: int,
-                        control_bounds, *refs):
+                        control_bounds, footprint, *refs):
     """refs: seed + S state + obstacles | S out-state + (C+1) controls
     + valid."""
     seed_ref = refs[0]
@@ -226,7 +256,7 @@ def _rollout_rng_kernel(system, num_disc: int, num_obstacles: int,
     obs = [(obs_ref[k, 0], obs_ref[k, 1], obs_ref[k, 2], obs_ref[k, 3])
            for k in range(num_obstacles)]
     comps, alive = _integrate(system, comps, ctrl, dur, obs,
-                              num_disc, width, height)
+                              num_disc, width, height, footprint)
     for ref, c in zip(out_refs, comps):
         ref[:] = c
     valid_ref[:] = alive.astype(jnp.int32)
@@ -235,7 +265,7 @@ def _rollout_rng_kernel(system, num_disc: int, num_obstacles: int,
 @functools.partial(
     jax.jit,
     static_argnames=("system", "num_disc", "width", "height", "interpret",
-                     "block_rows"),
+                     "block_rows", "footprint"),
 )
 def sample_and_rollout_pallas(
     system,
@@ -248,6 +278,7 @@ def sample_and_rollout_pallas(
     height: float,
     interpret: bool = False,
     block_rows: int = BLOCK_ROWS,
+    footprint: tuple[float, float] | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fully fused sample+rollout: controls drawn inside the kernel by the
     hardware PRNG from the system's control bounds. Returns
@@ -277,7 +308,7 @@ def sample_and_rollout_pallas(
     )
     kernel = functools.partial(
         _rollout_rng_kernel, system, num_disc, K, width, height, S, C,
-        control_bounds,
+        control_bounds, footprint,
     )
     outs = pl.pallas_call(
         kernel,

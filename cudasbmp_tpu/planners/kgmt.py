@@ -181,10 +181,11 @@ def _dispatch_rollout(cfg: KGMTConfig, system, x0: Array, controls: Array,
         return rollout_pallas(
             system, x0, controls, obstacles,
             num_disc=cfg.num_disc, width=cfg.width, height=cfg.height,
-            interpret=not on_tpu,
+            interpret=not on_tpu, footprint=cfg.footprint,
         )
     return rollout_batch(
-        system, x0, controls, cfg.num_disc, obstacles, cfg.width, cfg.height
+        system, x0, controls, cfg.num_disc, obstacles, cfg.width, cfg.height,
+        footprint=cfg.footprint,
     )
 
 
@@ -213,6 +214,7 @@ def _expand_rollout(cfg: KGMTConfig, system, key: Array, x0: Array,
         x1, controls, valid = sample_and_rollout_pallas(
             system, seed, x0, obstacles,
             num_disc=cfg.num_disc, width=cfg.width, height=cfg.height,
+            footprint=cfg.footprint,
         )
         return x1, controls, valid
     controls = system.control_spec.sample(key, (x0.shape[0],))

@@ -166,6 +166,7 @@ def refine_path(system, cfg: KGMTConfig, path: np.ndarray, goal: np.ndarray,
         x1, valid = rollout_batch(
             system, states[-1][None], refined[i][None], cfg.num_disc,
             obstacles_j, cfg.width, cfg.height,
+            footprint=cfg.footprint,
         )
         ok = ok and bool(valid[0])
         states.append(x1[0])

@@ -55,6 +55,7 @@ def _shortcut_round(system, cfg: KGMTConfig, K: int, N: int,
     x_c, valid_c = rollout_batch(
         system, jnp.broadcast_to(x_i, (K, system.state_dim)), controls,
         cfg.num_disc, obstacles, cfg.width, cfg.height,
+        footprint=cfg.footprint,
     )
 
     # replay suffix edges j+1..n_edges from each candidate end state
@@ -67,6 +68,7 @@ def _shortcut_round(system, cfg: KGMTConfig, K: int, N: int,
         x1, v = rollout_batch(
             system, state, jnp.broadcast_to(ctrl, (K, ctrl.shape[0])),
             cfg.num_disc, obstacles, cfg.width, cfg.height,
+            footprint=cfg.footprint,
         )
         state = jnp.where(active, x1, state)
         ok = ok & (~active | v)

@@ -17,6 +17,7 @@ duration ~ U(0.05, 1.05) (statePropagator.cu:17-19).
 from __future__ import annotations
 
 import dataclasses
+from typing import ClassVar
 import math
 
 import jax
@@ -31,6 +32,7 @@ Array = jax.Array
 class KinematicBicycle:
     name: str = "bicycle"
     state_dim: int = 4  # x, y, theta, v   (STATE_DIM, KGMT.cu:6)
+    heading_index: ClassVar[int] = 2  # theta component (footprint narrow phase)
     agent_length: float = 1.0  # wheelbase L (demos/main.cu:26)
     control_spec: ControlSpec = dataclasses.field(
         default_factory=lambda: ControlSpec(

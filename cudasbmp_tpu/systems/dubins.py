@@ -16,6 +16,7 @@ With kappa in [-kappa_max, kappa_max] the minimum turn radius is
 from __future__ import annotations
 
 import dataclasses
+from typing import ClassVar
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,7 @@ Array = jax.Array
 class DubinsCar:
     name: str = "dubins"
     state_dim: int = 4
+    heading_index: ClassVar[int] = 2
     kappa_max: float = 1.0  # min turn radius = 1 / kappa_max
     control_spec: ControlSpec = dataclasses.field(
         default_factory=lambda: ControlSpec(

@@ -16,6 +16,7 @@ The 4th state slot is zero-padded so the shared 7-float sample layout
 from __future__ import annotations
 
 import dataclasses
+from typing import ClassVar
 import math
 
 import jax
@@ -30,6 +31,7 @@ Array = jax.Array
 class Unicycle:
     name: str = "unicycle"
     state_dim: int = 4
+    heading_index: ClassVar[int] = 2
     control_spec: ControlSpec = dataclasses.field(
         default_factory=lambda: ControlSpec(
             lo=(-2.0, -math.pi, 0.05),

@@ -48,6 +48,16 @@ ROW_TILES = 8  # rows of (8,128) per program -> 8192 lanes per program
 BLOCK_ROWS = SUBLANES * ROW_TILES
 
 
+def _default_block_rows(footprint) -> int:
+    """Per-program block size. The footprint narrow phase roughly doubles the
+    kernel's live-value footprint per step (cos/sin/center/abs terms per
+    obstacle); at the default 64-row block it overflows the 16 MB scoped VMEM
+    stack on v5e by ~0.5% (measured: 16.08M vs 16.00M limit), so footprint
+    kernels halve the block. Throughput loss is small — the 4096-lane point
+    on the block sweep is within ~2% of the 8192-lane default (perf.md)."""
+    return BLOCK_ROWS if footprint is None else BLOCK_ROWS // 2
+
+
 def supports_system(system) -> bool:
     """A system joins the fused path by providing the SoA step hooks."""
     return hasattr(system, "soa_prepare") and hasattr(system, "soa_step")
@@ -154,7 +164,7 @@ def rollout_pallas(
     width: float,
     height: float,
     interpret: bool = False,
-    block_rows: int = BLOCK_ROWS,
+    block_rows: int | None = None,
     footprint: tuple[float, float] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused rollout for any SoA-capable system. Same contract as
@@ -167,6 +177,8 @@ def rollout_pallas(
     K = obstacles.shape[0]
     S = system.state_dim
     C = system.control_spec.dim - 1  # non-duration controls
+    if block_rows is None:
+        block_rows = _default_block_rows(footprint)
     block = block_rows * LANES
     Bp = max(((B + block - 1) // block) * block, block)
 
@@ -277,7 +289,7 @@ def sample_and_rollout_pallas(
     width: float,
     height: float,
     interpret: bool = False,
-    block_rows: int = BLOCK_ROWS,
+    block_rows: int | None = None,
     footprint: tuple[float, float] | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fully fused sample+rollout: controls drawn inside the kernel by the
@@ -289,6 +301,8 @@ def sample_and_rollout_pallas(
     C = system.control_spec.dim - 1
     spec = system.control_spec
     control_bounds = tuple(zip(spec.lo, spec.hi))
+    if block_rows is None:
+        block_rows = _default_block_rows(footprint)
     block = block_rows * LANES
     Bp = max(((B + block - 1) // block) * block, block)
 

@@ -94,6 +94,14 @@ def test_cli_probe():
 
 
 @pytest.mark.slow
+def test_cli_footprint_flag():
+    r = run_cli("demo", "--footprint-width", "0.5",
+                "--max-tree-size", "16384", "--rollouts-per-iter", "2048")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "time inside KGMT is" in r.stdout
+
+
+@pytest.mark.slow
 def test_cli_multi():
     r = run_cli("multi", "--batch", "8", "--max-tree-size", "16384",
                 "--rollouts-per-iter", "2048")

@@ -59,6 +59,21 @@ def test_multi_query_batch_sharded():
 
 
 @pytest.mark.slow
+def test_multi_query_with_footprint():
+    """The narrow-phase footprint composes with the vmapped/sharded
+    multi-query path (it is static config, so vmap just broadcasts it)."""
+    cfg = MQ_CONFIG.replace(footprint_width=0.5)
+    planner = MultiQueryPlanner(cfg, mesh=make_planner_mesh())
+    B = 8
+    base = Scenario.demo()
+    inits = np.tile(base.init, (B, 1)).astype(np.float32)
+    goals = np.tile(base.goal, (B, 1)).astype(np.float32)
+    obstacles, _ = base.padded_obstacles(cfg.max_obstacles)
+    res = planner.plan_batch(inits, goals, obstacles, seed=3)
+    assert res.solved.mean() > 0.8, res.costs
+
+
+@pytest.mark.slow
 def test_multi_query_matches_unsharded():
     """Sharding is semantics-preserving: same batch on mesh vs no mesh."""
     base = Scenario.demo()

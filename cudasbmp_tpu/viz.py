@@ -22,25 +22,36 @@ from cudasbmp_tpu.systems.registry import get_system
 def _integrate_edge(system, x0: np.ndarray, control: np.ndarray, num_disc: int
                     ) -> np.ndarray:
     """Re-integrate one edge on the host; returns [num_disc+1, 2] positions."""
+    return _integrate_edge_states(system, x0, control, num_disc)[:, :2]
+
+
+def _integrate_edge_states(system, x0: np.ndarray, control: np.ndarray,
+                           num_disc: int) -> np.ndarray:
+    """Re-integrate one edge; returns [num_disc+1, state_dim] full states."""
     import jax.numpy as jnp
 
     state = jnp.asarray(x0[: system.state_dim])
     a_steer = jnp.asarray(control[:-1])
     dt = float(control[-1]) / num_disc
-    pts = [np.asarray(state[:2])]
+    states = [np.asarray(state)]
     for _ in range(num_disc):
         state = system.step(state, a_steer, dt)
-        pts.append(np.asarray(state[:2]))
-    return np.stack(pts)
+        states.append(np.asarray(state))
+    return np.stack(states)
 
 
 def plot_tree(result=None, artifacts_dir: str | os.PathLike | None = None,
               config: KGMTConfig | None = None, out_path: str = "tree.png",
               obstacles: np.ndarray | None = None, max_edges: int = 2000,
               show_grid: bool = True,
+              footprint: tuple[float, float] | None = None,
               _samples_path: os.PathLike | None = None,
               _parents_path: os.PathLike | None = None) -> str:
-    """Render the search tree over the workspace; returns the written path."""
+    """Render the search tree over the workspace; returns the written path.
+
+    With ``footprint=(half_len, half_wid)`` (e.g. ``config.footprint``), the
+    agent's oriented body rectangle is drawn at every pose along the solution
+    path — the visual check for the narrow-phase collision mode."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -98,8 +109,23 @@ def plot_tree(result=None, artifacts_dir: str | os.PathLike | None = None,
     if path_nodes is not None and len(path_nodes) > 1:
         for i in range(1, len(path_nodes)):
             p, c = path_nodes[i - 1], path_nodes[i]
-            pts = _integrate_edge(system, samples[p], samples[c, 4:7], cfg.num_disc)
-            ax.plot(pts[:, 0], pts[:, 1], color="tab:red", lw=2.0, zorder=4)
+            sts = _integrate_edge_states(system, samples[p], samples[c, 4:7],
+                                         cfg.num_disc)
+            ax.plot(sts[:, 0], sts[:, 1], color="tab:red", lw=2.0, zorder=4)
+            if footprint is not None:
+                from cudasbmp_tpu.geometry.footprint import footprint_corners
+
+                import jax.numpy as jnp
+
+                hi = getattr(system, "heading_index", None)
+                theta = sts[:, hi] if hi is not None else np.zeros(len(sts))
+                corners = np.asarray(footprint_corners(
+                    jnp.asarray(sts[:, 0]), jnp.asarray(sts[:, 1]),
+                    jnp.asarray(theta), footprint[0], footprint[1]))
+                for quad in corners:
+                    ax.add_patch(plt.Polygon(quad, closed=True, fill=False,
+                                             edgecolor="tab:orange", lw=0.5,
+                                             zorder=4))
 
     ax.set_title(f"KGMT tree ({tree_size} nodes)")
     fig.savefig(out_path, dpi=130, bbox_inches="tight")

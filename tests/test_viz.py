@@ -15,6 +15,17 @@ def test_plot_tree_from_result(small_config, demo_scenario, tmp_path):
     assert Path(out).stat().st_size > 10_000
 
 
+def test_plot_tree_with_footprint_overlay(small_config, demo_scenario,
+                                          tmp_path):
+    cfg = small_config.replace(footprint_width=0.5)
+    result = KGMT(cfg).plan(demo_scenario)
+    out = plot_tree(result=result, config=cfg,
+                    obstacles=demo_scenario.obstacles,
+                    out_path=str(tmp_path / "tree_fp.png"), max_edges=200,
+                    footprint=cfg.footprint)
+    assert Path(out).stat().st_size > 10_000
+
+
 def test_plot_tree_from_artifacts(small_config, demo_scenario, tmp_path):
     result = KGMT(small_config).plan(demo_scenario)
     write_artifacts(result.state, small_config, tmp_path)

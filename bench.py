@@ -38,11 +38,13 @@ REPEATS_BY_BACKEND = {"jnp": 200, "pallas": 2000, "pallas_rng": 2000}
 
 
 def measure_prop_throughput(batch: int = BATCH, repeats: int | None = None,
-                            backend: str = "jnp", dense: bool = False) -> dict:
+                            backend: str = "jnp", dense: bool = False,
+                            fast_math: bool = False) -> dict:
     """Valid propagations/sec on the current default device.
 
     backend: 'jnp' (XLA-fused generic path) or 'pallas' (fused kernel).
-    dense=True swaps in the 24-obstacle stress field (BASELINE config 3)."""
+    dense=True swaps in the 24-obstacle stress field (BASELINE config 3);
+    fast_math=True enables the chained-rotation trig kernels."""
     import jax
     import jax.numpy as jnp
 
@@ -70,14 +72,14 @@ def measure_prop_throughput(batch: int = BATCH, repeats: int | None = None,
             seed = jax.random.randint(key, (), 0, 2**31 - 1)
             _, _, valid = sample_and_rollout_bicycle_pallas(
                 seed, x0, obstacles, num_disc=NUM_DISC,
-                width=20.0, height=20.0,
+                width=20.0, height=20.0, fast_math=fast_math,
             )
             return valid.sum(dtype=jnp.int32)
         controls = system.control_spec.sample(key, (batch,))
         if backend == "pallas":
             _, valid = rollout_bicycle_pallas(
                 x0, controls, obstacles, num_disc=NUM_DISC,
-                width=20.0, height=20.0,
+                width=20.0, height=20.0, fast_math=fast_math,
             )
         else:
             _, valid = rollout_batch(system, x0, controls, NUM_DISC,
@@ -242,15 +244,16 @@ def main() -> None:
     on_tpu = jax.devices()[0].platform == "tpu"
     # headline first: the fastest backend on this platform
     if on_tpu:
-        thr_rng = maybe(measure_prop_throughput, backend="pallas_rng",
-                        required=True)
+        thr_rng_fast = maybe(measure_prop_throughput, backend="pallas_rng",
+                             fast_math=True, required=True)
+        thr_rng = maybe(measure_prop_throughput, backend="pallas_rng")
         thr_pallas = maybe(measure_prop_throughput, backend="pallas")
         thr_jnp = maybe(measure_prop_throughput, backend="jnp")
     else:
         thr_jnp = maybe(measure_prop_throughput, backend="jnp", required=True)
-        thr_rng = thr_pallas = None
+        thr_rng = thr_pallas = thr_rng_fast = None
     best = max(
-        [t for t in (thr_jnp, thr_pallas, thr_rng) if t],
+        [t for t in (thr_jnp, thr_pallas, thr_rng, thr_rng_fast) if t],
         key=lambda t: t["valid_per_sec"],
     )
     tts = maybe(measure_time_to_solution,
@@ -259,7 +262,7 @@ def main() -> None:
     }
     mq = maybe(measure_multi_query) if on_tpu else None
     thr_dense = (maybe(measure_prop_throughput, backend="pallas_rng",
-                       dense=True) if on_tpu else None)
+                       dense=True, fast_math=True) if on_tpu else None)
     tts_biased = (maybe(measure_time_to_solution, "pallas_rng",
                         goal_bias=0.3) if on_tpu else None)
     cpu = cpu_baseline()
@@ -279,6 +282,8 @@ def main() -> None:
             if thr_pallas else None,
             "pallas_rng_valid_per_sec": round(thr_rng["valid_per_sec"], 1)
             if thr_rng else None,
+            "pallas_rng_fast_math_valid_per_sec": round(
+                thr_rng_fast["valid_per_sec"], 1) if thr_rng_fast else None,
             "cpu_valid_per_sec": round(cpu, 1) if cpu == cpu else None,
             "time_to_first_solution_s": tts["tts_s"],
             "tts_mean_s": tts["tts_mean_s"],

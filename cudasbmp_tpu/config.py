@@ -86,6 +86,14 @@ class KGMTConfig:
     # obstacle (geometry/footprint.py). Realizes the footprint the
     # reference's host Agent carries but never consults.
     footprint_width: float = 0.0
+    # Fast-math rollouts (beyond-reference; False = exact reference float
+    # semantics): systems with the fast hooks (bicycle, unicycle, dubins)
+    # replace per-step cos/sin in the fused Pallas kernels with chained 2-D
+    # rotations (+11% rollout throughput measured on v5e). Positions drift
+    # from the exact path only by f32 rounding (typically ~1e-5; up to ~1e-2
+    # absolute for near-singular steering where tan(s) is huge); still fully
+    # deterministic per seed. Pallas backends only.
+    fast_math: bool = False
     # Rollout implementation: 'auto' uses the fused Pallas kernel on TPU for
     # supported systems and the XLA-fused jnp path elsewhere; 'pallas'/'jnp'
     # force one (pallas on CPU runs in interpret mode — tests only);

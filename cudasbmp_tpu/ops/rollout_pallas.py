@@ -65,7 +65,8 @@ def supports_system(system) -> bool:
 
 def _integrate(system, comps, ctrl, dur, obs, num_disc: int,
                width: float, height: float,
-               footprint: tuple[float, float] | None = None):
+               footprint: tuple[float, float] | None = None,
+               fast_math: bool = False):
     """Shared kernel body: unrolled Euler loop + per-step swept-AABB tests
     (+ the optional oriented-footprint narrow phase, geometry/footprint.py).
 
@@ -77,11 +78,18 @@ def _integrate(system, comps, ctrl, dur, obs, num_disc: int,
     mirrors footprint_clear's op order for the same reason.
     """
     dt = dur / num_disc
-    aux = system.soa_prepare(ctrl)
+    use_fast = fast_math and hasattr(system, "soa_step_fast")
+    if use_fast:
+        carry, aux = system.soa_prepare_fast(comps, ctrl, dt)
+    else:
+        aux = system.soa_prepare(ctrl)
     alive = jnp.ones_like(comps[0], dtype=jnp.bool_)
     heading_index = getattr(system, "heading_index", None)
     for _ in range(num_disc):
-        new = system.soa_step(comps, aux, dt)
+        if use_fast:
+            new, new_carry = system.soa_step_fast(comps, carry, aux, dt)
+        else:
+            new = system.soa_step(comps, aux, dt)
         nx, ny, x, y = new[0], new[1], comps[0], comps[1]
         clear = (nx > 0.0) & (nx < width) & (ny > 0.0) & (ny < height)
         bb_min_x = jnp.minimum(x, nx)
@@ -95,10 +103,17 @@ def _integrate(system, comps, ctrl, dur, obs, num_disc: int,
             clear = clear & sep
         if footprint is not None:
             hl, hw = footprint
-            theta = (new[heading_index] if heading_index is not None
-                     else jnp.zeros_like(nx))
-            ct = jnp.cos(theta)
-            st = jnp.sin(theta)
+            if use_fast and heading_index is not None:
+                # hook contract: carry[0:2] = cos/sin of the current state,
+                # so new_carry[0:2] is the post-step pose's cos/sin
+                ct, st = new_carry[0], new_carry[1]
+            elif heading_index is not None:
+                theta = new[heading_index]
+                ct = jnp.cos(theta)
+                st = jnp.sin(theta)
+            else:
+                ct = jnp.ones_like(nx)
+                st = jnp.zeros_like(nx)
             fcx = nx + hl * ct
             fcy = ny + hl * st
             act, ast = jnp.abs(ct), jnp.abs(st)
@@ -117,13 +132,17 @@ def _integrate(system, comps, ctrl, dur, obs, num_disc: int,
                 hit = valid_box & ~(sep_x | sep_y | sep_u | sep_v)
                 clear = clear & ~hit
         comps = [jnp.where(alive, n, c) for n, c in zip(new, comps)]
+        if use_fast:
+            # dead lanes' carry may keep rotating — harmless, their comps
+            # are frozen and alive never resurrects
+            carry = new_carry
         alive = alive & clear
     return comps, alive
 
 
 def _rollout_kernel(system, num_disc: int, num_obstacles: int,
                     width: float, height: float, S: int, C: int,
-                    footprint, *refs):
+                    footprint, fast_math, *refs):
     """refs: S state + C control + dur + obstacles | S out-state + valid."""
     state_refs = refs[:S]
     ctrl_refs = refs[S:S + C]
@@ -138,7 +157,7 @@ def _rollout_kernel(system, num_disc: int, num_obstacles: int,
     obs = [(obs_ref[k, 0], obs_ref[k, 1], obs_ref[k, 2], obs_ref[k, 3])
            for k in range(num_obstacles)]
     comps, alive = _integrate(system, comps, ctrl, dur_ref[:], obs,
-                              num_disc, width, height, footprint)
+                              num_disc, width, height, footprint, fast_math)
     for ref, c in zip(out_refs, comps):
         ref[:] = c
     valid_ref[:] = alive.astype(jnp.int32)
@@ -152,7 +171,7 @@ def _tile_spec(block_rows: int):
 @functools.partial(
     jax.jit,
     static_argnames=("system", "num_disc", "width", "height", "interpret",
-                     "block_rows", "footprint"),
+                     "block_rows", "footprint", "fast_math"),
 )
 def rollout_pallas(
     system,
@@ -166,6 +185,7 @@ def rollout_pallas(
     interpret: bool = False,
     block_rows: int | None = None,
     footprint: tuple[float, float] | None = None,
+    fast_math: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused rollout for any SoA-capable system. Same contract as
     ops.rollout.rollout_batch (including the optional oriented-footprint
@@ -197,7 +217,8 @@ def rollout_pallas(
                  + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)])
 
     kernel = functools.partial(
-        _rollout_kernel, system, num_disc, K, width, height, S, C, footprint
+        _rollout_kernel, system, num_disc, K, width, height, S, C, footprint,
+        fast_math,
     )
     outs = pl.pallas_call(
         kernel,
@@ -215,7 +236,7 @@ def rollout_pallas(
 def rollout_bicycle_pallas(
     x0, controls, obstacles, *, num_disc, width, height,
     agent_length: float = 1.0, interpret: bool = False,
-    block_rows: int = BLOCK_ROWS,
+    block_rows: int | None = None, fast_math: bool = False,
 ):
     """Bicycle-specialized entry point (kept for the bench/test surface)."""
     from cudasbmp_tpu.systems.bicycle import KinematicBicycle
@@ -223,7 +244,7 @@ def rollout_bicycle_pallas(
     return rollout_pallas(
         KinematicBicycle(agent_length=agent_length), x0, controls, obstacles,
         num_disc=num_disc, width=width, height=height, interpret=interpret,
-        block_rows=block_rows,
+        block_rows=block_rows, fast_math=fast_math,
     )
 
 
@@ -243,7 +264,7 @@ def _uniform_from_bits(bits, lo: float, hi: float):
 
 def _rollout_rng_kernel(system, num_disc: int, num_obstacles: int,
                         width: float, height: float, S: int, C: int,
-                        control_bounds, footprint, *refs):
+                        control_bounds, footprint, fast_math, *refs):
     """refs: seed + S state + obstacles | S out-state + (C+1) controls
     + valid."""
     seed_ref = refs[0]
@@ -268,7 +289,7 @@ def _rollout_rng_kernel(system, num_disc: int, num_obstacles: int,
     obs = [(obs_ref[k, 0], obs_ref[k, 1], obs_ref[k, 2], obs_ref[k, 3])
            for k in range(num_obstacles)]
     comps, alive = _integrate(system, comps, ctrl, dur, obs,
-                              num_disc, width, height, footprint)
+                              num_disc, width, height, footprint, fast_math)
     for ref, c in zip(out_refs, comps):
         ref[:] = c
     valid_ref[:] = alive.astype(jnp.int32)
@@ -277,7 +298,7 @@ def _rollout_rng_kernel(system, num_disc: int, num_obstacles: int,
 @functools.partial(
     jax.jit,
     static_argnames=("system", "num_disc", "width", "height", "interpret",
-                     "block_rows", "footprint"),
+                     "block_rows", "footprint", "fast_math"),
 )
 def sample_and_rollout_pallas(
     system,
@@ -291,6 +312,7 @@ def sample_and_rollout_pallas(
     interpret: bool = False,
     block_rows: int | None = None,
     footprint: tuple[float, float] | None = None,
+    fast_math: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fully fused sample+rollout: controls drawn inside the kernel by the
     hardware PRNG from the system's control bounds. Returns
@@ -322,7 +344,7 @@ def sample_and_rollout_pallas(
     )
     kernel = functools.partial(
         _rollout_rng_kernel, system, num_disc, K, width, height, S, C,
-        control_bounds, footprint,
+        control_bounds, footprint, fast_math,
     )
     outs = pl.pallas_call(
         kernel,
@@ -343,7 +365,8 @@ def sample_and_rollout_bicycle_pallas(
     seed, x0, obstacles, *, num_disc, width, height,
     agent_length: float = 1.0,
     control_bounds: tuple | None = None,
-    interpret: bool = False, block_rows: int = BLOCK_ROWS,
+    interpret: bool = False, block_rows: int | None = None,
+    fast_math: bool = False,
 ):
     """Bicycle-specialized entry point (kept for the bench/test surface).
     ``control_bounds`` overrides the system's sampling box if given."""
@@ -361,4 +384,5 @@ def sample_and_rollout_bicycle_pallas(
     return sample_and_rollout_pallas(
         system, seed, x0, obstacles, num_disc=num_disc, width=width,
         height=height, interpret=interpret, block_rows=block_rows,
+        fast_math=fast_math,
     )

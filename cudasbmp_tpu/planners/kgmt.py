@@ -182,6 +182,7 @@ def _dispatch_rollout(cfg: KGMTConfig, system, x0: Array, controls: Array,
             system, x0, controls, obstacles,
             num_disc=cfg.num_disc, width=cfg.width, height=cfg.height,
             interpret=not on_tpu, footprint=cfg.footprint,
+            fast_math=cfg.fast_math,
         )
     return rollout_batch(
         system, x0, controls, cfg.num_disc, obstacles, cfg.width, cfg.height,
@@ -214,7 +215,7 @@ def _expand_rollout(cfg: KGMTConfig, system, key: Array, x0: Array,
         x1, controls, valid = sample_and_rollout_pallas(
             system, seed, x0, obstacles,
             num_disc=cfg.num_disc, width=cfg.width, height=cfg.height,
-            footprint=cfg.footprint,
+            footprint=cfg.footprint, fast_math=cfg.fast_math,
         )
         return x1, controls, valid
     controls = system.control_spec.sample(key, (x0.shape[0],))

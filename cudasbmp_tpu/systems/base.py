@@ -84,3 +84,20 @@ class SoAStepMixin(Protocol):
                  dt: Array) -> list[Array]:
         """One Euler step on per-component arrays; returns new components."""
         ...
+
+    # -- optional fast-math hooks (KGMTConfig.fast_math) -------------------
+    # Systems whose per-step transcendentals admit a recurrence may ALSO
+    # provide the pair below; the fused kernel then replaces per-step
+    # cos/sin with chained 2-D rotations (+11% end-to-end on v5e:
+    # dtheta_k is affine in the step index, so cos/sin(theta_k) and
+    # cos/sin(dtheta_k) each update with one rotation — 8 mul + 4 add
+    # instead of 2 transcendentals per step). Positions then differ from the
+    # exact path only by f32 rounding accumulation (~1e-6 over num_disc=10);
+    # valid masks may flip on boundary-grazing rollouts. CONTRACT: when the
+    # system has a heading, carry[0] and carry[1] must be
+    # (cos(theta), sin(theta)) of the CURRENT state so the footprint narrow
+    # phase can reuse them.
+    #
+    # def soa_prepare_fast(self, comps, ctrl, dt) -> tuple[carry, aux]
+    # def soa_step_fast(self, comps, carry, aux, dt) -> tuple[new_comps,
+    #                                                         new_carry]

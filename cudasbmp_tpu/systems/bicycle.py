@@ -67,3 +67,32 @@ class KinematicBicycle:
                 y + v * jnp.sin(th) * dt,
                 th + (v / self.agent_length) * tan_s * dt,
                 v + a * dt]
+
+    # -- fast-math hooks (see systems.base): dtheta_k = (v_k/L)*tan(s)*dt
+    # with v_k = v0 + a*dt*k is AFFINE in k, so both cos/sin(theta) and
+    # cos/sin(dtheta) update by one 2-D rotation per step. 7 transcendentals
+    # once per rollout (tan, 3x cos, 3x sin) replace 2 per step. -----------
+    def soa_prepare_fast(self, comps, ctrl, dt):
+        a, steering = ctrl
+        tan_s = jnp.tan(steering)
+        _, _, th, v = comps
+        d0 = (v / self.agent_length) * tan_s * dt  # dtheta at step 0
+        c2 = (a * dt / self.agent_length) * tan_s * dt  # per-step increment
+        carry = (jnp.cos(th), jnp.sin(th), jnp.cos(d0), jnp.sin(d0), d0)
+        aux = (a, jnp.cos(c2), jnp.sin(c2), c2)
+        return carry, aux
+
+    def soa_step_fast(self, comps, carry, aux, dt):
+        x, y, th, v = comps
+        ct, st, dct, dst, dth = carry
+        a, cc2, sc2, c2 = aux
+        # position uses PRE-step theta (= ct/st) and v, like step()
+        new = [x + v * ct * dt,
+               y + v * st * dt,
+               th + dth,
+               v + a * dt]
+        nct = ct * dct - st * dst
+        nst = st * dct + ct * dst
+        ndct = dct * cc2 - dst * sc2
+        ndst = dst * cc2 + dct * sc2
+        return new, (nct, nst, ndct, ndst, dth + c2)

@@ -62,3 +62,23 @@ class DubinsCar:
                 y + v * jnp.sin(th) * dt,
                 th + v * kappa * dt,
                 jnp.zeros_like(z)]
+
+    # -- fast-math hooks (see systems.base): v is constant per rollout, so
+    # dtheta = v*kappa*dt is constant — one rotation per step. --------------
+    def soa_prepare_fast(self, comps, ctrl, dt):
+        v, kappa = ctrl
+        _, _, th, _ = comps
+        d0 = v * kappa * dt
+        carry = (jnp.cos(th), jnp.sin(th))
+        aux = (v, kappa, jnp.cos(d0), jnp.sin(d0))
+        return carry, aux
+
+    def soa_step_fast(self, comps, carry, aux, dt):
+        x, y, th, z = comps
+        ct, st = carry
+        v, kappa, dct, dst = aux
+        new = [x + v * ct * dt,
+               y + v * st * dt,
+               th + v * kappa * dt,
+               jnp.zeros_like(z)]
+        return new, (ct * dct - st * dst, st * dct + ct * dst)

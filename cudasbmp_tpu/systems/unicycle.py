@@ -62,3 +62,23 @@ class Unicycle:
                 y + v * jnp.sin(th) * dt,
                 th + omega * dt,
                 jnp.zeros_like(z)]
+
+    # -- fast-math hooks (see systems.base): dtheta = omega*dt is CONSTANT
+    # per rollout, so one rotation per step replaces cos+sin. ---------------
+    def soa_prepare_fast(self, comps, ctrl, dt):
+        v, omega = ctrl
+        _, _, th, _ = comps
+        d0 = omega * dt
+        carry = (jnp.cos(th), jnp.sin(th))
+        aux = (v, omega, jnp.cos(d0), jnp.sin(d0))
+        return carry, aux
+
+    def soa_step_fast(self, comps, carry, aux, dt):
+        x, y, th, z = comps
+        ct, st = carry
+        v, omega, dct, dst = aux
+        new = [x + v * ct * dt,
+               y + v * st * dt,
+               th + omega * dt,
+               jnp.zeros_like(z)]
+        return new, (ct * dct - st * dst, st * dct + ct * dst)

@@ -201,6 +201,16 @@ def test_pallas_rng_backend_degrades_off_tpu(small_config, demo_scenario):
     assert result.solved
 
 
+def test_fast_math_planner_solves(small_config, demo_scenario):
+    """fast_math + pallas backend end-to-end: solves with cost in the normal
+    band (fast math changes float rounding, not semantics)."""
+    cfg = small_config.replace(rollout_backend="pallas", fast_math=True,
+                               rollouts_per_iter=1024)
+    result = KGMT(cfg).plan(demo_scenario)
+    assert result.solved
+    assert 5.0 < result.cost < 25.0
+
+
 def test_all_valid_samples_inside_workspace(solved):
     planner, result = solved
     state = result.state

@@ -244,9 +244,10 @@ def main() -> None:
     on_tpu = jax.devices()[0].platform == "tpu"
     # headline first: the fastest backend on this platform
     if on_tpu:
+        thr_rng = maybe(measure_prop_throughput, backend="pallas_rng",
+                        required=True)
         thr_rng_fast = maybe(measure_prop_throughput, backend="pallas_rng",
-                             fast_math=True, required=True)
-        thr_rng = maybe(measure_prop_throughput, backend="pallas_rng")
+                             fast_math=True)
         thr_pallas = maybe(measure_prop_throughput, backend="pallas")
         thr_jnp = maybe(measure_prop_throughput, backend="jnp")
     else:

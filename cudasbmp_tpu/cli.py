@@ -62,7 +62,7 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fast-math", action="store_const", const=True,
                    default=None,
                    help="chained-rotation trig in the fused kernels "
-                   "(+11% on v5e; positions differ from exact only by "
+                   "(+11%% on v5e; positions differ from exact only by "
                    "f32 rounding)")
     p.add_argument("--footprint-width", type=float, default=None,
                    help="agent body width for the narrow-phase oriented-"
@@ -121,7 +121,8 @@ def _run_plan(args: argparse.Namespace, scenario) -> int:
 
             out = plot_tree(result=result, config=cfg,
                             obstacles=scenario.obstacles,
-                            out_path=f"{args.out_dir}/tree.png")
+                            out_path=f"{args.out_dir}/tree.png",
+                            footprint=cfg.footprint)
             print(f"wrote {out}")
     return 0 if result.solved else 1
 

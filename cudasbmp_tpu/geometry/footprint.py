@@ -50,7 +50,9 @@ def footprint_clear(
     bcy = (obstacles[:, 1] + obstacles[:, 3]) * 0.5
     bhx = (obstacles[:, 2] - obstacles[:, 0]) * 0.5
     bhy = (obstacles[:, 3] - obstacles[:, 1]) * 0.5
-    valid_box = (bhx > 0) & (bhy > 0)  # padding rows are degenerate
+    # padding rows have max < min (negative half extents); real obstacles
+    # may be zero-thickness walls, so the cut is at 0, not above it
+    valid_box = (bhx >= 0) & (bhy >= 0)
 
     dx = cx[..., None] - bcx  # [..., K]
     dy = cy[..., None] - bcy

@@ -122,7 +122,7 @@ def _integrate(system, comps, ctrl, dur, obs, num_disc: int,
                 bcy = (oymin + oymax) * 0.5
                 bhx = (oxmax - oxmin) * 0.5
                 bhy = (oymax - oymin) * 0.5
-                valid_box = (bhx > 0) & (bhy > 0)
+                valid_box = (bhx >= 0) & (bhy >= 0)  # keep 0-thickness walls
                 dx = fcx - bcx
                 dy = fcy - bcy
                 sep_x = jnp.abs(dx) >= bhx + hl * act + hw * ast

@@ -93,6 +93,15 @@ def test_cli_probe():
     assert json.loads(line)["rollouts_per_sec"] > 0
 
 
+def test_cli_help_all_subcommands():
+    """argparse expands help strings with %-formatting; a stray '%' in any
+    flag's help crashes --help (regression: the fast-math help text)."""
+    for sub in ("demo", "plan", "probe", "viz", "record", "profile",
+                "multi", "sweep"):
+        r = run_cli(sub, "--help")
+        assert r.returncode == 0, f"{sub} --help: {r.stderr[-500:]}"
+
+
 @pytest.mark.slow
 def test_cli_footprint_flag():
     r = run_cli("demo", "--footprint-width", "0.5",

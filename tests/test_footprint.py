@@ -61,6 +61,18 @@ def test_diagonal_narrow_phase_beats_broad_phase():
     assert not clear1(0.0, 0.0, theta, hl, hw, box2)
 
 
+def test_zero_thickness_wall_still_hits():
+    """A zero-width wall (xmin == xmax) is solid to the broad phase, so the
+    narrow phase must not mask it out (only padding rows, max < min, are
+    excluded). Regression: the valid-box cut must be >= 0, not > 0."""
+    wall = [[3.0, 1.0, 3.0, 5.0]]
+    # body parallel to the wall, straddling it
+    assert not clear1(2.6, 3.0, 0.0, 0.5, 0.25, wall)  # spans x in [2.6, 3.6]
+    assert clear1(1.0, 3.0, 0.0, 0.5, 0.25, wall)  # ends at x=2
+    # body crossing the wall at 90 degrees
+    assert not clear1(3.2, 2.0, math.pi, 0.5, 0.25, wall)
+
+
 def test_degenerate_padding_boxes_never_hit():
     pad = np.zeros((4, 4), np.float32)
     pad[:, 0:2] = 1.0  # min = 1, max = 0 (Scenario.padded_obstacles)

@@ -317,3 +317,35 @@ def test_cost_distribution_band(small_config, demo_scenario):
     # demo workload: straight-line distance ~13.3, speeds up to ~5; observed
     # band on the reference-scale config is ~7-16s trajectory time
     assert all(5.0 < c < 25.0 for c in costs), costs
+
+
+def test_zero_iteration_budget_plan():
+    """num_iterations=0: plan() is a legal no-op — tree stays at the root,
+    nothing solved, no crash (the while_loop body still traces)."""
+    cfg = KGMTConfig(num_iterations=0, max_tree_size=256,
+                     rollouts_per_iter=128)
+    result = KGMT(cfg).plan(Scenario.demo())
+    assert not result.solved
+    assert result.tree_size == 1
+    assert result.iterations == 0
+    assert len(result.path) == 0
+
+
+def test_start_in_goal_region(small_config):
+    """start == goal: like the reference, only CHILDREN are goal-tested
+    (updateG, KGMT.cu:568-579 — the root is never checked), so the planner
+    must solve in the first wave via a child landing inside the region."""
+    sc = Scenario.demo()
+    sc = Scenario(init=sc.goal.copy(), goal=sc.goal.copy(),
+                  obstacles=sc.obstacles)
+    result = KGMT(small_config).plan(sc)
+    assert result.solved
+    assert result.iterations == 1
+    assert result.cost <= 1.05  # one edge's duration at most
+
+
+def test_too_many_obstacles_raises():
+    cfg = KGMTConfig(max_obstacles=4)
+    sc = Scenario.dense(num_obstacles=24)
+    with pytest.raises(ValueError, match="obstacles"):
+        KGMT(cfg).plan(sc)

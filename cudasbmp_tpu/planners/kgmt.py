@@ -306,7 +306,11 @@ def expansion_wave(cfg: KGMTConfig, system, obstacles: Array, goal: Array,
             parent_idx = parent_idx.at[:n_biased].set(
                 jnp.where(ok, biased, parent_idx[:n_biased])
             )
-    x0 = s.tree_samples[parent_idx, : system.state_dim]
+    # Gather parent rows WHOLE, then slice: XLA lowers ts[idx, :4] as four
+    # separate per-column gathers plus a layout copy of the tree (~123+11 us
+    # per iteration profiled on v5e), while a full-row gather is one gather
+    # at ~the cost of a single column (measured 115 vs 199 us for 4 columns).
+    x0 = s.tree_samples[parent_idx][:, : system.state_dim]
 
     key_iter = jax.random.fold_in(s.key, s.itr)
     k_ctrl, k_accept = jax.random.split(key_iter)
@@ -574,22 +578,30 @@ class KGMT(Planner):
         return self._build_result(final, nodes, samples, length, wall)
 
     def _build_result(self, final, nodes, samples, length, wall) -> KGMTResult:
-        cost = float(final.cost_to_goal)
+        # ONE batched device->host fetch: each np.asarray on a device array
+        # costs a full relay round trip on the tunneled-TPU platform
+        # (profiled ~27 ms each, ~0.3 s total for the naive per-field pulls).
+        (cost, length_i, it, m_frontier, m_valid, m_accepted, m_tree,
+         r1_thr, tree_size_i, nodes, samples) = jax.device_get(
+            (final.cost_to_goal, length, final.itr, final.m_frontier_size,
+             final.m_valid, final.m_accepted, final.m_tree_size,
+             final.r1_threshold, final.tree_size, nodes, samples))
+        cost = float(cost)
         solved = np.isfinite(cost)
-        length_i = int(length)
-        it = int(final.itr)
+        length_i = int(length_i)
+        it = int(it)
         metrics = {
-            "frontier_size": np.asarray(final.m_frontier_size)[:it],
-            "valid": np.asarray(final.m_valid)[:it],
-            "accepted": np.asarray(final.m_accepted)[:it],
-            "tree_size": np.asarray(final.m_tree_size)[:it],
-            "r1_threshold": float(final.r1_threshold),
+            "frontier_size": m_frontier[:it],
+            "valid": m_valid[:it],
+            "accepted": m_accepted[:it],
+            "tree_size": m_tree[:it],
+            "r1_threshold": float(r1_thr),
         }
         return KGMTResult(
             solved=bool(solved),
             cost=cost if solved else float("inf"),
             iterations=it,
-            tree_size=int(final.tree_size),
+            tree_size=int(tree_size_i),
             wall_time_s=wall,
             path=np.asarray(samples)[:length_i],
             path_nodes=np.asarray(nodes)[:length_i],

@@ -59,7 +59,11 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--goal-bias", type=float, default=None,
                    help="fraction of each wave expanded from the top-k "
                    "goal-nearest frontier nodes (0 = reference semantics)")
-    p.add_argument("--fast-math", action="store_const", const=True,
+    # BooleanOptionalAction gives --fast-math/--no-fast-math so a config
+    # file's fast_math: true can be overridden back to exact semantics from
+    # the command line; default=None keeps the explicit-flag override filter
+    # working (ADVICE r1).
+    p.add_argument("--fast-math", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="chained-rotation trig in the fused kernels "
                    "(+11%% on v5e; positions differ from exact only by "

@@ -85,6 +85,11 @@ class KGMTConfig:
     # this wide, extending forward from the pose point — against every
     # obstacle (geometry/footprint.py). Realizes the footprint the
     # reference's host Agent carries but never consults.
+    # GUARANTEE: the body test runs at the num_disc DISCRETE post-step poses;
+    # only the pose point's swept AABB guards the segment between poses, so
+    # at large v*dt a body corner can tunnel past a very thin obstacle
+    # between consecutive poses. Raise num_disc (or keep obstacles thicker
+    # than max_speed*dt) when that matters.
     footprint_width: float = 0.0
     # Fast-math rollouts (beyond-reference; False = exact reference float
     # semantics): systems with the fast hooks (bicycle, unicycle, dubins)
@@ -93,6 +98,10 @@ class KGMTConfig:
     # from the exact path only by f32 rounding (typically ~1e-5; up to ~1e-2
     # absolute for near-singular steering where tan(s) is huge); still fully
     # deterministic per seed. Pallas backends only.
+    # MIXED-SEMANTICS CAVEAT: refine/shortcut re-validate edges with the
+    # EXACT jnp rollout, so ~1% boundary-grazing edges a fast_math solve
+    # accepted can fail exact re-validation there (reported via their
+    # 'valid'/acceptance outputs, never silently) — and vice versa.
     fast_math: bool = False
     # Rollout implementation: 'auto' uses the fused Pallas kernel on TPU for
     # supported systems and the XLA-fused jnp path elsewhere; 'pallas'/'jnp'

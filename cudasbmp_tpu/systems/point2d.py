@@ -23,12 +23,20 @@ class Point2D:
     name: str = "point2d"
     state_dim: int = 4
     max_speed: float = 2.0
-    control_spec: ControlSpec = dataclasses.field(
-        default_factory=lambda: ControlSpec(
-            lo=(-2.0, -2.0, 0.05),
-            hi=(2.0, 2.0, 1.05),
-        )
-    )
+    # None -> derived from max_speed in __post_init__, so the two can never
+    # disagree (round-1 review: a hardcoded spec made max_speed dead config).
+    control_spec: ControlSpec | None = None
+
+    def __post_init__(self) -> None:
+        if self.control_spec is None:
+            object.__setattr__(
+                self,
+                "control_spec",
+                ControlSpec(
+                    lo=(-self.max_speed, -self.max_speed, 0.05),
+                    hi=(self.max_speed, self.max_speed, 1.05),
+                ),
+            )
 
     def step(self, state: Array, control: Array, dt: Array) -> Array:
         x, y = state[..., 0], state[..., 1]

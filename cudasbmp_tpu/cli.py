@@ -72,6 +72,18 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
                    help="agent body width for the narrow-phase oriented-"
                    "footprint collision check (0 = reference broad-phase-"
                    "only semantics)")
+    p.add_argument("--adaptive-waves", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="multiple sub-waves per iteration so every frontier "
+                   "node gets its full fan-out (reference KGMT.cu:151-158 "
+                   "semantics; --no-adaptive-waves caps each iteration at "
+                   "one rollouts-per-iter wave)")
+    p.add_argument("--exchange-frac", type=float, default=None,
+                   help="sharded-tree mode: fraction of each wave expanding "
+                   "the cross-shard frontier-exchange pool (0 disables)")
+    p.add_argument("--exchange-k", type=int, default=None,
+                   help="sharded-tree mode: goal-nearest frontier nodes "
+                   "each shard publishes per iteration")
     p.add_argument("--config", help="YAML/JSON config file (overridden by flags "
                    "explicitly set on the command line)")
 
@@ -88,7 +100,8 @@ def _config_from_args(args: argparse.Namespace):
         rollouts_per_iter=args.rollouts_per_iter, system=args.system,
         seed=args.seed, rollout_backend=args.rollout_backend,
         goal_bias=args.goal_bias, footprint_width=args.footprint_width,
-        fast_math=args.fast_math,
+        fast_math=args.fast_math, adaptive_waves=args.adaptive_waves,
+        exchange_frac=args.exchange_frac, exchange_k=args.exchange_k,
     )
     overrides = {k: v for k, v in flag_fields.items() if v is not None}
     return dataclasses.replace(cfg, **overrides)

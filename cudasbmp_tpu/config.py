@@ -52,6 +52,13 @@ class KGMTConfig:
     # round-robin parent assignment; slots beyond
     # min(fanout*frontier, capacity_left) are masked out.
     rollouts_per_iter: int = 4096
+    # Adaptive wave sizing (default True): when fanout*frontier_size exceeds
+    # rollouts_per_iter, the iteration runs ceil(target/R) sub-waves so every
+    # frontier node still gets its full fan-out — matching the reference's
+    # launch whose width GROWS with the frontier (KGMT.cu:151-158: wave =
+    # 32*activeSize rollouts). False caps each iteration at one R-slot wave
+    # (round-robin thins the per-node fan-out on wide frontiers).
+    adaptive_waves: bool = True
     # Score-formula epsilon (KGMT.cu:131 passes 0.01).
     epsilon: float = 0.01
     # Dynamical system name from cudasbmp_tpu.systems.registry.
@@ -91,6 +98,18 @@ class KGMTConfig:
     # between consecutive poses. Raise num_disc (or keep obstacles thicker
     # than max_speed*dt) when that matters.
     footprint_width: float = 0.0
+    # Sharded-tree frontier exchange (P7, SURVEY.md §7 hard-part 5; only
+    # active when kgmt_iteration runs under a mesh axis): every iteration
+    # each shard all_gathers the exchange_k goal-nearest nodes of every
+    # shard's frontier and reserves exchange_frac of each wave's rollout
+    # slots for parents drawn from that pool. Children of foreign parents
+    # are committed locally with GLOBAL (shard*max_tree_size + slot) parent
+    # references, making the D shard-local trees ONE logical tree whose
+    # paths can cross shards — the collective analog of the reference's
+    # single compacted frontier (KGMT.cu:139-147). 0.0 disables exchange
+    # (guidance-coupled independent trees, the round-1 behavior).
+    exchange_frac: float = 0.25
+    exchange_k: int = 64
     # Fast-math rollouts (beyond-reference; False = exact reference float
     # semantics): systems with the fast hooks (bicycle, unicycle, dubins)
     # replace per-step cos/sin in the fused Pallas kernels with chained 2-D
@@ -126,6 +145,10 @@ class KGMTConfig:
             problems.append(f"unknown rollout_backend {self.rollout_backend!r}")
         if not 0.0 <= self.goal_bias <= 1.0:
             problems.append("goal_bias must be in [0, 1]")
+        if not 0.0 <= self.exchange_frac <= 1.0:
+            problems.append("exchange_frac must be in [0, 1]")
+        if self.exchange_k < 1:
+            problems.append("exchange_k must be >= 1")
         if self.goal_bias_k < 1:
             problems.append("goal_bias_k must be >= 1")
         if self.footprint_width < 0:
@@ -252,19 +275,33 @@ class Scenario:
         return cls(init=init, goal=goal,
                    obstacles=np.asarray(boxes, np.float32))
 
-    def padded_obstacles(self, max_obstacles: int) -> tuple[np.ndarray, np.ndarray]:
+    def padded_obstacles(self, max_obstacles: int,
+                         pad_to: int | None = None) -> tuple[np.ndarray, np.ndarray]:
         """Pad the obstacle set to a static shape; returns (boxes, valid_mask).
 
         Padding boxes are degenerate (max < min) so they can never overlap
         anything, which lets the collision kernel skip masking entirely.
+
+        The static shape is the smallest multiple of 8 that holds the actual
+        count (capped at ``max_obstacles``), NOT ``max_obstacles`` itself:
+        the fused kernels' per-step obstacle test is O(padded rows), and the
+        reference's loop is O(actual count) (collisionCheck.cu:16-28) — on
+        the 5-obstacle demo padding to the config max of 32 would do 4x the
+        collision work of padding to 8. Rounding to 8 bounds recompiles to
+        one per obstacle-count octave. ``pad_to`` overrides for callers that
+        batch scenarios with differing counts under one trace.
         """
         k = self.obstacles.shape[0]
         if k > max_obstacles:
             raise ValueError(f"{k} obstacles > max_obstacles={max_obstacles}")
-        pad = np.zeros((max_obstacles - k, 4), np.float32)
+        if pad_to is None:
+            pad_to = min(max_obstacles, max(8, -(-k // 8) * 8))
+        if pad_to < k:
+            raise ValueError(f"pad_to={pad_to} < {k} obstacles")
+        pad = np.zeros((pad_to - k, 4), np.float32)
         pad[:, 0:2] = 1.0  # min = 1, max = 0 -> empty box
         boxes = np.concatenate([self.obstacles, pad], axis=0)
-        mask = np.zeros(max_obstacles, bool)
+        mask = np.zeros(pad_to, bool)
         mask[:k] = True
         return boxes, mask
 

@@ -98,8 +98,22 @@ def write_csv(array: np.ndarray, path: str | os.PathLike, cols: int = 1) -> None
     np.savetxt(path, arr, delimiter=",", fmt="%.9g")
 
 
-def write_artifacts(state, config: KGMTConfig, out_dir: str | os.PathLike) -> list[str]:
-    """Dump the 13 reference-named artifact CSVs (KGMT.cu:299-311)."""
+# The exact artifact set KGMT::plan dumps (KGMT.cu:299-311), name for name.
+REFERENCE_ARTIFACT_NAMES = frozenset({
+    "samples.csv", "unexploredSamples.csv", "parentRelations.csv",
+    "uParentIdx.csv", "G.csv", "R2Avail.csv", "R1Avail.csv", "R1Valid.csv",
+    "R2Valid.csv", "R1Invalid.csv", "R2Invalid.csv", "R1Score.csv", "R1.csv",
+})
+
+
+def write_artifacts(state, config: KGMTConfig, out_dir: str | os.PathLike,
+                    extras: bool = False) -> list[str]:
+    """Dump the reference's 13 artifact CSVs (KGMT.cu:299-311), exactly those
+    names. The staging buffer (unexploredSamples/uParentIdx — the most recent
+    wave's rollouts) is carried in the state like the reference's device
+    vectors, just sized [rollouts_per_iter] instead of [maxTreeSize].
+    ``extras=True`` adds two beyond-reference dumps (R2.csv cell totals,
+    costs.csv) that our viz tooling reads."""
     from cudasbmp_tpu.planners.kgmt import frontier_mask  # lazy: no cycle
 
     out = Path(out_dir)
@@ -110,23 +124,25 @@ def write_artifacts(state, config: KGMTConfig, out_dir: str | os.PathLike) -> li
     ).astype(np.int32)
     dumps = [
         ("samples.csv", np.asarray(state.tree_samples), SAMPLE_DIM),
+        ("unexploredSamples.csv", np.asarray(state.u_samples), SAMPLE_DIM),
         ("parentRelations.csv", np.asarray(state.tree_parent), 1),
+        ("uParentIdx.csv", np.asarray(state.u_parent), 1),
         ("G.csv", g_mask, 1),
-        ("R1.csv", np.asarray(state.r1_total), 1),
+        ("R2Avail.csv", np.asarray(state.r2_avail), 1),
         ("R1Avail.csv", np.asarray(state.r1_avail), 1),
         ("R1Valid.csv", np.asarray(state.r1_valid), 1),
-        ("R1Invalid.csv", np.asarray(state.r1_invalid), 1),
-        ("R1Score.csv", np.asarray(state.r1_score), 1),
-        ("R2Avail.csv", np.asarray(state.r2_avail), 1),
         ("R2Valid.csv", np.asarray(state.r2_valid), 1),
+        ("R1Invalid.csv", np.asarray(state.r1_invalid), 1),
         ("R2Invalid.csv", np.asarray(state.r2_invalid), 1),
-        # The reference also dumps the staging buffer + its parents
-        # (unexploredSamples.csv / uParentIdx.csv). Our dense design has no
-        # persistent staging buffer; costs + R2 totals are dumped instead,
-        # which the MATLAB scripts do not read but our viz does.
-        ("R2.csv", np.asarray(state.r2_total), 1),
-        ("costs.csv", np.asarray(state.costs), 1),
+        ("R1Score.csv", np.asarray(state.r1_score), 1),
+        ("R1.csv", np.asarray(state.r1_total), 1),
     ]
+    assert {n for n, _, _ in dumps} == REFERENCE_ARTIFACT_NAMES
+    if extras:
+        dumps += [
+            ("R2.csv", np.asarray(state.r2_total), 1),
+            ("costs.csv", np.asarray(state.costs), 1),
+        ]
     written = []
     for name, arr, cols in dumps:
         assert arr.size % cols == 0, name

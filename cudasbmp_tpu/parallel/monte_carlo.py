@@ -59,10 +59,12 @@ def random_scenarios(key, batch: int, config: KGMTConfig,
 
     ks = [jax.random.split(k, batch) for k in (k_obs, k_init, k_goal)]
     inits, goals, obstacles = jax.vmap(one)(*ks)
-    # pad obstacle arrays to the planner's static max
-    pad = cfg.max_obstacles - num_obstacles
-    if pad < 0:
+    # tight-pad the obstacle arrays to a multiple of 8 (the collision loop is
+    # O(padded rows) — see Scenario.padded_obstacles), capped at the config max
+    if num_obstacles > cfg.max_obstacles:
         raise ValueError(f"{num_obstacles} obstacles > max {cfg.max_obstacles}")
+    pad_to = min(cfg.max_obstacles, max(8, -(-num_obstacles // 8) * 8))
+    pad = pad_to - num_obstacles
     empty = jnp.zeros((batch, pad, 4)).at[:, :, 0:2].set(1.0)  # degenerate
     obstacles = jnp.concatenate([obstacles, empty], axis=1)
     return np.asarray(inits), np.asarray(goals), np.asarray(obstacles)

@@ -117,7 +117,13 @@ class MultiQueryPlanner:
         cfg = self.config
         inits = np.stack([s.init for s in scenarios])
         goals = np.stack([s.goal for s in scenarios])
+        # one static obstacle shape for the whole batch: tight-pad to the
+        # LARGEST scenario's count (padded_obstacles rounds to a multiple of 8)
+        pad_to = max(
+            s.padded_obstacles(cfg.max_obstacles)[0].shape[0] for s in scenarios
+        )
         obstacles = np.stack(
-            [s.padded_obstacles(cfg.max_obstacles)[0] for s in scenarios]
+            [s.padded_obstacles(cfg.max_obstacles, pad_to=pad_to)[0]
+             for s in scenarios]
         )
         return self.plan_batch(inits, goals, obstacles, seed=seed)

@@ -58,7 +58,9 @@ class KGMTState(NamedTuple):
 
     # Tree (KGMT.cu:25-26, 40, 70)
     tree_samples: Array  # f32 [M, SAMPLE_DIM]
-    tree_parent: Array  # i32 [M], -1 = unset
+    tree_parent: Array  # i32 [M], -1 = unset; a local index, or a GLOBAL id
+    # (owning_shard * M + slot, possibly another shard's tree) when running
+    # under a mesh axis with frontier exchange
     costs: Array  # f32 [M], trajectory time from root
     # The reference tracks the frontier as a boolean mask (d_G_) it must
     # scan+compact every iteration (KGMT.cu:139-147). Because commits are
@@ -81,9 +83,15 @@ class KGMTState(NamedTuple):
     r2_avail: Array
     r1_threshold: Array  # f32 scalar — computed-but-unused knob kept for
     # observability parity (KGMT.cu:526; never read by the kernels, §2.4.2)
+    # Staging buffer: the most recent expansion wave's rollouts + parents —
+    # the analog of d_unexploredSamples_/d_uParentIdx_ (KGMT.cu:16-17,28-29),
+    # sized [rollouts_per_iter] rather than [maxTreeSize] because our wave is
+    # a fixed dense batch. Dumped as unexploredSamples.csv/uParentIdx.csv.
+    u_samples: Array  # f32 [R, SAMPLE_DIM]
+    u_parent: Array  # i32 [R]
     # Solution
     cost_to_goal: Array  # f32 scalar, +inf until solved (explicit, §2.4.1)
-    goal_node: Array  # i32 scalar, -1 until solved
+    goal_node: Array  # i32 scalar, -1 until solved (global id under a mesh)
     # Control
     itr: Array  # i32 scalar
     key: Array  # PRNG key
@@ -149,6 +157,8 @@ def init_state(cfg: KGMTConfig, grid: RegionGrid, init: Array, key: Array) -> KG
         r2_invalid=zeros_r2,
         r2_avail=zeros_r2.at[r2_0].set(one_r2),
         r1_threshold=jnp.zeros((), jnp.float32),
+        u_samples=jnp.zeros((cfg.rollouts_per_iter, SAMPLE_DIM), jnp.float32),
+        u_parent=jnp.full(cfg.rollouts_per_iter, -1, jnp.int32),
         cost_to_goal=jnp.array(jnp.inf, jnp.float32),
         goal_node=jnp.full((), -1, jnp.int32),
         itr=jnp.zeros((), jnp.int32),
@@ -262,29 +272,51 @@ def update_region_scores(
 
 
 def expansion_wave(cfg: KGMTConfig, system, obstacles: Array, goal: Array,
-                   s: KGMTState):
-    """Compute iteration ``s.itr``'s expansion wave from the pre-iteration
-    state: the analog of the reference's staging buffer fill
+                   s: KGMTState, wave: Array | int = 0,
+                   frontier_lo: Array | None = None,
+                   frontier_size: Array | None = None,
+                   n_target: Array | None = None,
+                   pool: tuple[Array, Array, Array] | None = None,
+                   gid_base: Array | int = 0):
+    """Compute sub-wave ``wave`` of iteration ``s.itr``'s expansion from the
+    current state: the analog of the reference's staging buffer fill
     (d_unexploredSamples_/d_uParentIdx_, propagateG, KGMT.cu:386-389).
 
-    Deterministic in ``s`` (counter-based RNG), so a recorded run can REPLAY
-    any iteration's wave after the fact to dump the staging-buffer artifacts
-    (unexploredSamples<i>.csv / uParentIdx<i>.csv) without carrying them in
-    the planner state. Returns (slot_active, parent_idx, x1, controls, valid,
-    samples1, k_accept)."""
+    The reference gives EVERY frontier node ``fanout`` children in one launch
+    whose width grows with the frontier (KGMT.cu:151-158). Our batch is a
+    fixed ``rollouts_per_iter`` slots, so a wide frontier is covered by
+    several sub-waves per iteration (kgmt_iteration drives the loop); slot
+    ``wave*R + i`` maps round-robin onto the frontier range, and slots at or
+    beyond ``n_target`` rollouts are masked. Defaults reproduce a standalone
+    single wave over the state's own frontier.
+
+    With ``pool`` set (sharded-tree frontier exchange: (rows [P, SAMPLE_DIM],
+    global ids [P] with -1 padding, costs [P]) gathered from every shard),
+    the LAST round(exchange_frac*R) slots of each wave draw their parents
+    round-robin from the pool's valid entries instead of the local frontier,
+    so a shard can expand nodes it does not own. ``gid_base`` is this shard's
+    global-id offset (shard*max_tree_size); parent references are returned as
+    global ids (== local indices when gid_base is 0).
+
+    Deterministic in (s, wave) via counter-based RNG. Returns (slot_active,
+    parent_gid, parent_cost, x1, controls, valid, samples1, k_accept)."""
     M = cfg.max_tree_size
     R = cfg.rollouts_per_iter
-    frontier_size = s.tree_size - s.frontier_lo
-    capacity_left = M - s.tree_size
-    # The reference's two regimes — fan-out 32 per node (KGMT.cu:151-158)
-    # or fill-remaining-capacity (propagateGV2) — collapse into one dense
-    # batch: n_eff live slots, parents assigned round-robin.
-    n_eff = jnp.minimum(
-        jnp.minimum(cfg.fanout * frontier_size, capacity_left), R
-    )
+    if frontier_lo is None:
+        frontier_lo = s.frontier_lo
+    if frontier_size is None:
+        frontier_size = s.tree_size - s.frontier_lo
+    if n_target is None:
+        # single-wave default: the reference's two regimes — fan-out per node
+        # or fill-remaining-capacity (propagateGV2) — collapse into one dense
+        # batch of at most R live slots.
+        n_target = jnp.minimum(
+            jnp.minimum(cfg.fanout * frontier_size, M - s.tree_size), R
+        )
     slot = jnp.arange(R, dtype=jnp.int32)
-    slot_active = slot < n_eff
-    parent_idx = s.frontier_lo + slot % jnp.maximum(frontier_size, 1)
+    gslot = wave * R + slot  # global wave-slot index across sub-waves
+    slot_active = gslot < n_target
+    parent_idx = frontier_lo + gslot % jnp.maximum(frontier_size, 1)
     if cfg.goal_bias > 0.0:
         # Nearest-neighbor parent selection as a device-side top-k reduction
         # over the tree (beyond-reference; see KGMTConfig.goal_bias): the
@@ -292,7 +324,7 @@ def expansion_wave(cfg: KGMTConfig, system, obstacles: Array, goal: Array,
         # nearest the goal, the rest keep the uniform assignment above.
         with jax.named_scope("kgmt_goal_bias_topk"):
             idx = jnp.arange(M)
-            in_frontier = (idx >= s.frontier_lo) & (idx < s.tree_size)
+            in_frontier = (idx >= frontier_lo) & (idx < frontier_lo + frontier_size)
             d2 = ((s.tree_samples[:, 0] - goal[0]) ** 2
                   + (s.tree_samples[:, 1] - goal[1]) ** 2)
             d2 = jnp.where(in_frontier, d2, jnp.inf)
@@ -310,14 +342,41 @@ def expansion_wave(cfg: KGMTConfig, system, obstacles: Array, goal: Array,
     # separate per-column gathers plus a layout copy of the tree (~123+11 us
     # per iteration profiled on v5e), while a full-row gather is one gather
     # at ~the cost of a single column (measured 115 vs 199 us for 4 columns).
-    x0 = s.tree_samples[parent_idx][:, : system.state_dim]
+    parent_rows = s.tree_samples[parent_idx]
+    parent_cost = s.costs[parent_idx]
+    parent_gid = gid_base + parent_idx
+    if pool is not None:
+        pool_rows, pool_ids, pool_costs = pool
+        P = pool_ids.shape[0]
+        n_pool = int(round(cfg.exchange_frac * R))
+        j = gslot % P
+        use_pool = (slot >= R - n_pool) & (pool_ids[j] >= 0)  # -1 = padding
+        parent_rows = jnp.where(use_pool[:, None], pool_rows[j], parent_rows)
+        parent_cost = jnp.where(use_pool, pool_costs[j], parent_cost)
+        parent_gid = jnp.where(use_pool, pool_ids[j], parent_gid)
+        # Pool slots are active INDEPENDENTLY of the local fan-out target:
+        # n_target scales with the LOCAL frontier, so a shard whose own
+        # frontier is tiny (or sterile) would otherwise mask off exactly the
+        # slots that let it expand foreign nodes.
+        slot_active = slot_active | use_pool
+    x0 = parent_rows[:, : system.state_dim]
 
     key_iter = jax.random.fold_in(s.key, s.itr)
-    k_ctrl, k_accept = jax.random.split(key_iter)
+    # sub-wave 0 uses the iteration key DIRECTLY (not fold_in(key, 0)) so
+    # single-wave iterations — the non-adaptive mode and every iteration
+    # whose frontier fits one wave — keep the exact RNG stream of runs and
+    # checkpoints from before adaptive waves existed.
+    key_wave = jax.lax.cond(
+        jnp.asarray(wave) == 0,
+        lambda: key_iter,
+        lambda: jax.random.fold_in(key_iter, wave),
+    )
+    k_ctrl, k_accept = jax.random.split(key_wave)
     x1, controls, valid = _expand_rollout(cfg, system, k_ctrl, x0, obstacles)
     valid = valid & slot_active
     samples1 = jnp.concatenate([x1, controls], axis=-1)  # [R, SAMPLE_DIM]
-    return slot_active, parent_idx, x1, controls, valid, samples1, k_accept
+    return (slot_active, parent_gid, parent_cost, x1, controls, valid,
+            samples1, k_accept)
 
 
 def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
@@ -327,11 +386,15 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
     (d) commit, (e) goal/termination bookkeeping — the body of the reference's
     host loop (KGMT.cu:118-292) as one fused device program.
 
-    With ``axis_name`` set (sharded-tree mode, SURVEY.md P7), region
-    statistics are all-reduced over that mesh axis before scoring, so every
-    shard guides its local expansion with the GLOBAL exploration state; tree
-    arrays stay shard-local. The collectives ride ICI (psum of two small
-    histogram pytrees per iteration)."""
+    With ``axis_name`` set (sharded-tree mode, SURVEY.md P7), two collectives
+    make the shards ONE logical planner: (1) region statistics are
+    all-reduced over the mesh axis before scoring, so every shard guides its
+    expansion with the GLOBAL exploration state, and (2) each shard's top-k
+    goal-nearest frontier slice is all_gathered into an exchange pool that a
+    reserved fraction of every wave expands, with cross-shard global parent
+    ids (see expansion_wave). Tree STORAGE stays shard-local. The collectives
+    ride ICI (one psum of two small histogram pytrees + one all_gather of
+    k*(SAMPLE_DIM+2) floats per shard per iteration)."""
     M = cfg.max_tree_size
     R = cfg.rollouts_per_iter
 
@@ -350,113 +413,185 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
         r1_score, r1_threshold = update_region_scores(cfg, s_score)
 
     with jax.named_scope("kgmt_frontier"):
-        # contiguous frontier: [frontier_lo, tree_size) — see KGMTState docs
-        frontier_size = s.tree_size - s.frontier_lo
-
-    # --- expansion wave -------------------------------------------------
-    with jax.named_scope("kgmt_expand"):
-        (slot_active, parent_idx, x1, controls, valid,
-         samples1, k_accept) = expansion_wave(cfg, system, obstacles, goal, s)
-
-    # --- region statistics (atomics -> segment sums) ---------------------
-    with jax.named_scope("kgmt_region_stats"):
-        r1, r2 = grid.region_indices(x1[:, 0:2])
-        # One 2-column scatter per grid level replaces the reference's six
-        # atomicAdd streams + two atomicExch flag flips (KGMT.cu:392-410):
-        # invalid = touched - valid, and a cell becomes available exactly
-        # when its valid count first exceeds zero (KGMT.cu:401-406).
-        vals = jnp.stack(
-            [slot_active.astype(jnp.int32), valid.astype(jnp.int32)], axis=-1
-        )
-        d1 = masked_multi_bincount(r1, vals, cfg.num_r1)
-        d2 = masked_multi_bincount(r2, vals, cfg.num_r2)
-        r1_total = s.r1_total + d1[:, 0]
-        r2_total = s.r2_total + d2[:, 0]
-        r1_valid_c = s.r1_valid + d1[:, 1]
-        r2_valid_c = s.r2_valid + d2[:, 1]
-        r1_invalid_c = s.r1_invalid + (d1[:, 0] - d1[:, 1])
-        r2_invalid_c = s.r2_invalid + (d2[:, 0] - d2[:, 1])
-        r1_avail = s.r1_avail | (d1[:, 1] > 0).astype(jnp.int32)
-        r2_avail = s.r2_avail | (d2[:, 1] > 0).astype(jnp.int32)
-
-    # --- acceptance (KGMT.cu:394-400): Bernoulli(score of child's R1 cell)
-    #     OR the child's R2 subcell was never reached before this wave -------
-    with jax.named_scope("kgmt_accept"):
-        u = jax.random.uniform(k_accept, (R,))
-        r1_safe = jnp.maximum(r1, 0)
-        r2_safe = jnp.maximum(r2, 0)
-        # Valid children OUTSIDE the region grid (possible when height >
-        # width: both axes use width-derived cells, KGMT.cu:13-14) are always
-        # accepted via the virgin term below — r1 < 0 implies r2 < 0
-        # (grid.py r2_index) — instead of borrowing cell 0's stats. The
-        # reference would index its arrays at -1 here (UB, SURVEY.md §2.4.7).
-        virgin_r2 = (r2 < 0) | (s_score.r2_avail[r2_safe] == 0)  # pre-wave
-        # snapshot (deterministic stand-in for the reference's racy read of
-        # concurrently-updated flags)
-        accept = valid & ((u <= r1_score[r1_safe]) | virgin_r2)
-
-    # --- commit (updateG, KGMT.cu:540-593) with correct capacity clamp ----
-    with jax.named_scope("kgmt_commit"):
-        accept_i = accept.astype(jnp.int32)
-        accept_pos = jnp.cumsum(accept_i) - accept_i
-        child_slot = s.tree_size + accept_pos
-        within = accept & (child_slot < M)
-        n_accepted = jnp.minimum(accept_i.sum(), M - s.tree_size)
-        dst = jnp.where(within, child_slot, M)  # OOB -> dropped
-        tree_samples = s.tree_samples.at[dst].set(samples1, mode="drop")
-        tree_parent = s.tree_parent.at[dst].set(parent_idx, mode="drop")
-        # cost = parent cost + edge duration (getCost returns x1[6],
-        # KGMT.cu:631-633: the metric is pure trajectory time).
-        child_cost = s.costs[parent_idx] + controls[:, -1]
-        costs = s.costs.at[dst].set(child_cost, mode="drop")
-        stalled = n_accepted == 0
-        if cfg.keep_frontier_on_stall:
-            # The reference's frontier empties permanently if a wave accepts
-            # nothing (parents cleared at KGMT.cu:378, no children set) and the
-            # planner spins uselessly; retrying the same frontier with fresh
-            # randomness is strictly better and is our default.
-            new_frontier_lo = jnp.where(stalled, s.frontier_lo, s.tree_size)
+        # contiguous frontier: [frontier_lo, tree_size) — see KGMTState docs.
+        # Frontier range and rollout target are fixed at ITERATION start:
+        # sub-wave commits grow the tree tail without widening this
+        # iteration's parent range (the reference likewise sizes its launch
+        # from the pre-wave activeSize, KGMT.cu:151-158).
+        frontier_lo0 = s.frontier_lo
+        tree_size0 = s.tree_size
+        frontier_size = tree_size0 - frontier_lo0
+        n_target = jnp.minimum(cfg.fanout * frontier_size, M - tree_size0)
+        if cfg.adaptive_waves:
+            # full reference fan-out: ceil(target / R) sub-waves
+            n_waves = (n_target + R - 1) // R
         else:
-            new_frontier_lo = s.tree_size  # empty range when stalled
-        tree_size = s.tree_size + n_accepted
+            n_target = jnp.minimum(n_target, R)
+            n_waves = jnp.minimum(n_target, 1)  # one wave (0 if tree full)
 
-    # --- goal check (inGoalRegion, KGMT.cu:635-638) -----------------------
-    with jax.named_scope("kgmt_goal"):
-        d2 = (x1[:, 0] - goal[0]) ** 2 + (x1[:, 1] - goal[1]) ** 2
-        in_goal = within & (d2 < cfg.goal_threshold**2)
-        goal_costs = jnp.where(in_goal, child_cost, jnp.inf)
-        best = jnp.argmin(goal_costs)
-        best_cost = goal_costs[best]
-        improved = best_cost < s.cost_to_goal
-        cost_to_goal = jnp.where(improved, best_cost, s.cost_to_goal)
-        goal_node = jnp.where(improved, child_slot[best], s.goal_node)
+    # --- cross-shard frontier exchange (sharded-tree mode, SURVEY P7) ------
+    # Once per iteration (NOT per sub-wave: the sub-wave trip count differs
+    # per shard, so collectives there would deadlock), every shard publishes
+    # its exchange_k goal-nearest frontier nodes; the gathered pool feeds a
+    # reserved fraction of each wave's slots so any shard can expand foreign
+    # nodes — the collective analog of the reference's single compacted
+    # frontier (KGMT.cu:139-147). Tree storage stays shard-local; parent
+    # references become global ids (shard*M + slot).
+    gid_base = 0
+    pool = None
+    if axis_name is not None:
+        gid_base = jax.lax.axis_index(axis_name).astype(jnp.int32) * M
+        if cfg.exchange_frac > 0.0:
+            with jax.named_scope("kgmt_frontier_exchange"):
+                idx = jnp.arange(M)
+                in_frontier = (idx >= frontier_lo0) & (idx < tree_size0)
+                d2x = ((s.tree_samples[:, 0] - goal[0]) ** 2
+                       + (s.tree_samples[:, 1] - goal[1]) ** 2)
+                d2x = jnp.where(in_frontier, d2x, jnp.inf)
+                k = min(cfg.exchange_k, M)
+                neg_best, cand = jax.lax.top_k(-d2x, k)
+                ok = jnp.isfinite(-neg_best)  # padding when frontier < k
+                cand = cand.astype(jnp.int32)
+                cand_rows = s.tree_samples[cand]
+                cand_ids = jnp.where(ok, gid_base + cand, -1)
+                cand_costs = s.costs[cand]
+                g_rows = jax.lax.all_gather(cand_rows, axis_name)
+                g_ids = jax.lax.all_gather(cand_ids, axis_name)
+                g_costs = jax.lax.all_gather(cand_costs, axis_name)
+                pool = (g_rows.reshape(-1, SAMPLE_DIM), g_ids.reshape(-1),
+                        g_costs.reshape(-1))
 
-    # --- metrics ----------------------------------------------------------
     it = s.itr
+
+    def sub_wave(carry):
+        """Phases (c) expand, (d) commit, (e) goal — one R-slot sub-wave.
+        NO collectives in here: in sharded mode the trip count differs per
+        shard (frontier widths differ), so anything collective would
+        deadlock; region stats are psum'd once per iteration in (a)."""
+        w, s_in, r2_seen = carry
+
+        with jax.named_scope("kgmt_expand"):
+            (slot_active, parent_gid, parent_cost, x1, controls, valid,
+             samples1, k_accept) = expansion_wave(
+                cfg, system, obstacles, goal, s_in, wave=w,
+                frontier_lo=frontier_lo0, frontier_size=frontier_size,
+                n_target=n_target, pool=pool, gid_base=gid_base)
+
+        # --- region statistics (atomics -> segment sums) ------------------
+        with jax.named_scope("kgmt_region_stats"):
+            r1, r2 = grid.region_indices(x1[:, 0:2])
+            # One 2-column scatter per grid level replaces the reference's
+            # six atomicAdd streams + two atomicExch flag flips
+            # (KGMT.cu:392-410): invalid = touched - valid, and a cell
+            # becomes available exactly when its valid count first exceeds
+            # zero (KGMT.cu:401-406).
+            vals = jnp.stack(
+                [slot_active.astype(jnp.int32), valid.astype(jnp.int32)],
+                axis=-1,
+            )
+            d1 = masked_multi_bincount(r1, vals, cfg.num_r1)
+            d2 = masked_multi_bincount(r2, vals, cfg.num_r2)
+
+        # --- acceptance (KGMT.cu:394-400): Bernoulli(score of child's R1
+        #     cell) OR the child's R2 subcell was never reached before -------
+        with jax.named_scope("kgmt_accept"):
+            u = jax.random.uniform(k_accept, (R,))
+            r1_safe = jnp.maximum(r1, 0)
+            r2_safe = jnp.maximum(r2, 0)
+            # Valid children OUTSIDE the region grid (possible when height >
+            # width: both axes use width-derived cells, KGMT.cu:13-14) are
+            # always accepted via the virgin term below — r1 < 0 implies
+            # r2 < 0 (grid.py r2_index) — instead of borrowing cell 0's
+            # stats. The reference would index its arrays at -1 here (UB,
+            # SURVEY.md §2.4.7). r2_seen is the iteration-start snapshot
+            # (global in sharded mode) plus earlier sub-waves' arrivals — a
+            # deterministic stand-in for the reference's racy read of
+            # concurrently-updated flags.
+            virgin_r2 = (r2 < 0) | (r2_seen[r2_safe] == 0)
+            accept = valid & ((u <= r1_score[r1_safe]) | virgin_r2)
+        r2_seen = r2_seen | (d2[:, 1] > 0).astype(jnp.int32)
+
+        # --- commit (updateG, KGMT.cu:540-593), correct capacity clamp ----
+        with jax.named_scope("kgmt_commit"):
+            accept_i = accept.astype(jnp.int32)
+            accept_pos = jnp.cumsum(accept_i) - accept_i
+            child_slot = s_in.tree_size + accept_pos
+            within = accept & (child_slot < M)
+            n_accepted = jnp.minimum(accept_i.sum(), M - s_in.tree_size)
+            dst = jnp.where(within, child_slot, M)  # OOB -> dropped
+            tree_samples = s_in.tree_samples.at[dst].set(samples1, mode="drop")
+            # parent references are global ids under a mesh axis (gid_base
+            # offset; may point into ANOTHER shard's tree via the exchange
+            # pool), plain local indices otherwise
+            tree_parent = s_in.tree_parent.at[dst].set(parent_gid, mode="drop")
+            # cost = parent cost + edge duration (getCost returns x1[6],
+            # KGMT.cu:631-633: the metric is pure trajectory time).
+            child_cost = parent_cost + controls[:, -1]
+            costs = s_in.costs.at[dst].set(child_cost, mode="drop")
+
+        # --- goal check (inGoalRegion, KGMT.cu:635-638) --------------------
+        with jax.named_scope("kgmt_goal"):
+            d2g = (x1[:, 0] - goal[0]) ** 2 + (x1[:, 1] - goal[1]) ** 2
+            in_goal = within & (d2g < cfg.goal_threshold**2)
+            goal_costs = jnp.where(in_goal, child_cost, jnp.inf)
+            best = jnp.argmin(goal_costs)
+            best_cost = goal_costs[best]
+            improved = best_cost < s_in.cost_to_goal
+            cost_to_goal = jnp.where(improved, best_cost, s_in.cost_to_goal)
+            # goal_node is a global id under a mesh axis (gid_base = 0 else)
+            goal_node = jnp.where(improved, gid_base + child_slot[best],
+                                  s_in.goal_node)
+
+        s_out = s_in._replace(
+            tree_samples=tree_samples,
+            tree_parent=tree_parent,
+            costs=costs,
+            tree_size=s_in.tree_size + n_accepted,
+            r1_total=s_in.r1_total + d1[:, 0],
+            r1_valid=s_in.r1_valid + d1[:, 1],
+            r1_invalid=s_in.r1_invalid + (d1[:, 0] - d1[:, 1]),
+            r1_avail=s_in.r1_avail | (d1[:, 1] > 0).astype(jnp.int32),
+            r2_total=s_in.r2_total + d2[:, 0],
+            r2_valid=s_in.r2_valid + d2[:, 1],
+            r2_invalid=s_in.r2_invalid + (d2[:, 0] - d2[:, 1]),
+            r2_avail=s_in.r2_avail | (d2[:, 1] > 0).astype(jnp.int32),
+            u_samples=samples1,  # staging buffer holds the latest sub-wave
+            u_parent=parent_gid,
+            cost_to_goal=cost_to_goal,
+            goal_node=goal_node,
+            m_valid=s_in.m_valid.at[it].add(valid.sum()),
+            m_accepted=s_in.m_accepted.at[it].add(n_accepted),
+        )
+        return w + 1, s_out, r2_seen
+
+    with jax.named_scope("kgmt_waves"):
+        # r2_seen starts from the iteration-start availability snapshot
+        # (the psum'd GLOBAL one in sharded mode) and accumulates arrivals
+        # across sub-waves locally.
+        _, s, _ = jax.lax.while_loop(
+            lambda c: c[0] < n_waves,
+            sub_wave,
+            (jnp.zeros((), jnp.int32), s, s_score.r2_avail),
+        )
+
+    stalled = s.tree_size == tree_size0
+    if cfg.keep_frontier_on_stall:
+        # The reference's frontier empties permanently if a wave accepts
+        # nothing (parents cleared at KGMT.cu:378, no children set) and the
+        # planner spins uselessly; retrying the same frontier with fresh
+        # randomness is strictly better and is our default.
+        new_frontier_lo = jnp.where(stalled, frontier_lo0, tree_size0)
+    else:
+        new_frontier_lo = tree_size0  # empty range when stalled
+
     return s._replace(
-        tree_samples=tree_samples,
-        tree_parent=tree_parent,
-        costs=costs,
         frontier_lo=new_frontier_lo,
-        tree_size=tree_size,
-        r1_total=r1_total,
-        r1_valid=r1_valid_c,
-        r1_invalid=r1_invalid_c,
-        r1_avail=r1_avail,
         r1_score=r1_score,
-        r2_total=r2_total,
-        r2_valid=r2_valid_c,
-        r2_invalid=r2_invalid_c,
-        r2_avail=r2_avail,
         r1_threshold=r1_threshold,
-        cost_to_goal=cost_to_goal,
-        goal_node=goal_node,
-        itr=s.itr + 1,
+        itr=it + 1,
         stalled=stalled,
         m_frontier_size=s.m_frontier_size.at[it].set(frontier_size),
-        m_valid=s.m_valid.at[it].set(valid.sum()),
-        m_accepted=s.m_accepted.at[it].set(n_accepted),
-        m_tree_size=s.m_tree_size.at[it].set(tree_size),
+        m_tree_size=s.m_tree_size.at[it].set(s.tree_size),
     )
 
 
@@ -638,23 +773,17 @@ class KGMT(Planner):
             lambda s: kgmt_iteration(cfg, self.system, self.grid, obstacles,
                                      goal, s)
         )
-        # staging-buffer replay for the reference's unexploredSamples /
-        # uParentIdx artifacts (KGMT.cu:269-274): deterministically recompute
-        # iteration i's wave from the pre-iteration state
-        wave = jax.jit(
-            lambda s: expansion_wave(cfg, self.system, obstacles, goal, s)
-        )
         t0 = time.perf_counter()
         for i in range(cfg.num_iterations):
-            prev = state
             state = step(state)
             if i % dump_every == 0:
                 it = i + 1
-                _, u_parent, _, _, _, u_samples, _ = wave(prev)
-                write_csv(np.asarray(u_samples),
+                # staging buffer (KGMT.cu:269-274, Data/UnexploredSamples):
+                # carried in the state like the reference's device vectors
+                write_csv(np.asarray(state.u_samples),
                           out / "UnexploredSamples"
                           / f"unexploredSamples{it}.csv", SAMPLE_DIM)
-                write_csv(np.asarray(u_parent),
+                write_csv(np.asarray(state.u_parent),
                           out / "UParentIdx" / f"uParentIdx{it}.csv")
                 write_csv(np.asarray(state.tree_samples),
                           out / "Samples" / f"samples{it}.csv", SAMPLE_DIM)

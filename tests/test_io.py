@@ -61,19 +61,33 @@ def test_obstacles_csv_roundtrip(tmp_path):
 
 
 def test_write_artifacts_names(tmp_path, small_config, demo_scenario):
+    from cudasbmp_tpu.io.csv import REFERENCE_ARTIFACT_NAMES
+
     result = KGMT(small_config).plan(demo_scenario)
     written = write_artifacts(result.state, small_config, tmp_path)
     names = {p.split("/")[-1] for p in written}
-    # the reference's artifact names (KGMT.cu:299-311)
-    for required in ["samples.csv", "parentRelations.csv", "G.csv",
-                     "R1.csv", "R1Avail.csv", "R1Valid.csv", "R1Invalid.csv",
-                     "R1Score.csv", "R2Avail.csv", "R2Valid.csv",
-                     "R2Invalid.csv"]:
-        assert required in names
+    # the default artifact file-name set EQUALS the reference's 13 exactly
+    # (KGMT.cu:299-311)
+    assert names == REFERENCE_ARTIFACT_NAMES == {
+        "samples.csv", "unexploredSamples.csv", "parentRelations.csv",
+        "uParentIdx.csv", "G.csv", "R2Avail.csv", "R1Avail.csv",
+        "R1Valid.csv", "R2Valid.csv", "R1Invalid.csv", "R2Invalid.csv",
+        "R1Score.csv", "R1.csv",
+    }
     samples = np.loadtxt(tmp_path / "samples.csv", delimiter=",")
     assert samples.shape == (small_config.max_tree_size, 7)
     r1 = np.loadtxt(tmp_path / "R1.csv", delimiter=",")
     assert r1.shape == (small_config.num_r1,)
+    # staging-buffer artifacts: last wave's rollouts + parent indices
+    staged = np.loadtxt(tmp_path / "unexploredSamples.csv", delimiter=",")
+    assert staged.shape == (small_config.rollouts_per_iter, 7)
+    upar = np.loadtxt(tmp_path / "uParentIdx.csv", delimiter=",")
+    assert upar.shape == (small_config.rollouts_per_iter,)
+    assert (upar >= 0).any()
+    # extras mode adds the two beyond-reference dumps on top
+    extra = write_artifacts(result.state, small_config, tmp_path, extras=True)
+    extra_names = {p.split("/")[-1] for p in extra}
+    assert extra_names == REFERENCE_ARTIFACT_NAMES | {"R2.csv", "costs.csv"}
 
 
 def test_checkpoint_roundtrip_and_exact_resume(small_config, demo_scenario, tmp_path):
@@ -105,3 +119,80 @@ def test_native_csv_available_and_fast():
     from cudasbmp_tpu.io.native import native_available
 
     assert native_available(), "native IO library should build in this image"
+
+
+@pytest.mark.slow
+def test_fault_injection_sigkill_and_resume(tmp_path):
+    """Elastic-recovery demonstration (SURVEY.md §5): SIGKILL a solve
+    mid-flight, restore the last intact checkpoint, and the resumed run
+    finishes IDENTICALLY to an uninterrupted one (itr-keyed counter-based
+    RNG makes resume exact regardless of where the kill landed)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    cfg = KGMTConfig(num_iterations=60, max_tree_size=16384,
+                     rollouts_per_iter=2048, seed=3)
+    sc = Scenario.demo()
+
+    # reference outcome: uninterrupted solve in-process
+    full = KGMT(cfg).plan(sc)
+    assert full.solved
+
+    # victim process: same solve, checkpointing every 2 iterations, slowed
+    # by per-iteration dumps so the kill lands mid-solve
+    code = f"""
+import os
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=1'
+import jax; jax.config.update('jax_platforms', 'cpu')
+import sys
+sys.path.insert(0, {str(__import__('pathlib').Path(__file__).resolve().parent.parent)!r})
+from cudasbmp_tpu.config import KGMTConfig, Scenario
+from cudasbmp_tpu.planners.kgmt import KGMT
+cfg = KGMTConfig(num_iterations=60, max_tree_size=16384,
+                 rollouts_per_iter=2048, seed=3)
+KGMT(cfg).plan_recorded(Scenario.demo(), {str(tmp_path)!r},
+                        dump_every=1, checkpoint_every=2)
+print('FINISHED_UNKILLED')
+"""
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    # kill the instant the first checkpoint exists (mid-solve, possibly
+    # mid-write of a later one)
+    deadline = _time.time() + 300
+    while _time.time() < deadline:
+        if (tmp_path / "checkpoint_2.npz").exists():
+            break
+        if proc.poll() is not None:
+            out, err = proc.communicate()
+            raise AssertionError(
+                f"victim exited before kill: {out!r} {err!r}")
+        _time.sleep(0.05)
+    os.kill(proc.pid, signal.SIGKILL)
+    proc.wait()
+    assert proc.returncode == -signal.SIGKILL
+
+    # restore: newest checkpoint that loads intact (a torn half-written
+    # file from the kill moment is skipped)
+    ckpts = sorted(tmp_path.glob("checkpoint_*.npz"),
+                   key=lambda p: int(p.stem.split("_")[1]), reverse=True)
+    assert ckpts, "no checkpoint survived"
+    state = None
+    for p in ckpts:
+        try:
+            state = load_checkpoint(p)
+            break
+        except Exception:
+            continue
+    assert state is not None
+    assert int(state.itr) >= 2
+
+    resumed = KGMT(cfg).resume(state, sc)
+    assert resumed.solved
+    # bit-identical final outcome to the uninterrupted run
+    assert resumed.cost == full.cost
+    assert resumed.tree_size == full.tree_size
+    assert resumed.iterations == full.iterations
+    np.testing.assert_array_equal(resumed.path, full.path)

@@ -135,7 +135,11 @@ def test_tall_workspace_goal_beyond_grid(small_config):
     so valid samples at y > width fall OUTSIDE the region grid (r1 = -1).
     They must be treated like virgin cells (always accepted), not borrow
     cell 0's stats — otherwise a goal above y = width is unreachable."""
-    cfg = small_config.replace(width=10.0, height=30.0, num_iterations=150)
+    # adaptive_waves off: full fan-out fills this test's reduced 16k tree
+    # budget before the 23-unit corridor is crossed (reference-scale capacity
+    # solves it either way); this test targets grid semantics, not wave policy
+    cfg = small_config.replace(width=10.0, height=30.0, num_iterations=150,
+                               max_tree_size=30000, adaptive_waves=False)
     sc = Scenario(
         init=np.array([5.0, 2.0, 0, 0, 0, 0, 0], np.float32),
         goal=np.array([5.0, 25.0, 0, 0, 0, 0, 0], np.float32),
@@ -296,8 +300,11 @@ def test_unicycle_solves(small_config):
 @pytest.mark.slow
 def test_dubins_solves(small_config):
     """Forward-only curvature car: harder to steer, give it more budget."""
+    # adaptive_waves off: this test targets the dynamics family, and the
+    # hard-to-steer car needs iteration depth more than wave width within
+    # the 30k capacity
     cfg = small_config.replace(system="dubins", max_tree_size=30000,
-                               rollouts_per_iter=4096)
+                               rollouts_per_iter=4096, adaptive_waves=False)
     result = KGMT(cfg).plan(Scenario.demo())
     assert result.solved
     # forward-only: every edge displacement <= v_max * duration
@@ -349,3 +356,36 @@ def test_too_many_obstacles_raises():
     sc = Scenario.dense(num_obstacles=24)
     with pytest.raises(ValueError, match="obstacles"):
         KGMT(cfg).plan(sc)
+
+
+def test_adaptive_waves_full_fanout():
+    """Reference wave-width parity (KGMT.cu:151-158): the launch grows with
+    the frontier so every node gets its full fan-out. With adaptive_waves a
+    wide frontier must therefore produce MORE than rollouts_per_iter rollouts
+    in one iteration (multiple sub-waves); with the flag off each iteration
+    is hard-capped at one R-slot wave."""
+    # open workspace (no obstacles): nearly every rollout is valid, so
+    # m_valid counts attempted rollouts almost exactly
+    sc = Scenario(
+        init=np.array([10.0, 10.0, 0, 0, 0, 0, 0], np.float32),
+        goal=np.array([19.5, 19.5, 0, 0, 0, 0, 0], np.float32),
+        obstacles=np.zeros((0, 4), np.float32),
+    )
+    base = KGMTConfig(
+        num_iterations=8, max_tree_size=8192, rollouts_per_iter=256,
+        fanout=32, stop_on_first_solution=False,
+    )
+    adaptive = KGMT(base).plan(sc)
+    capped = KGMT(base.replace(adaptive_waves=False)).plan(sc)
+    R = base.rollouts_per_iter
+    # capped mode can never see more than R valid rollouts in an iteration
+    assert (capped.metrics["valid"] <= R).all()
+    # adaptive mode must exceed R once frontier_size * fanout > R
+    wide = adaptive.metrics["frontier_size"] * base.fanout > R
+    assert wide.any(), adaptive.metrics["frontier_size"]
+    assert (adaptive.metrics["valid"][wide] > R).any(), adaptive.metrics
+    # and per-node fan-out is honored: valid <= fanout * frontier always
+    assert (adaptive.metrics["valid"]
+            <= base.fanout * adaptive.metrics["frontier_size"]).all()
+    # the wider search grows the tree at least as fast
+    assert adaptive.tree_size >= capped.tree_size

@@ -147,4 +147,8 @@ def test_load_repo_configurations():
     scenario, grid = load_scenario("configurations")
     np.testing.assert_allclose(scenario.init[:2], [1.0, 1.0])
     assert scenario.obstacles.shape == (5, 4)
-    assert grid["N"] == 16 and grid["n"] == 8
+    # numR2.csv carries the reference's value 16 — which its own demo
+    # IGNORES in favor of a hardcoded n=8 (demos/main.cu:22 vs
+    # configurations/R2/numR2.csv; SURVEY.md §2.4.10). The loader reports the
+    # file's value faithfully; honoring-vs-overriding is the caller's choice.
+    assert grid["N"] == 16 and grid["n"] == 16

@@ -73,7 +73,7 @@ WORKER = textwrap.dedent(
     # cross-process (DCN-analog) link every iteration -----------------------
     from cudasbmp_tpu.parallel.sharded_tree import ShardedTreePlanner
     cfg2 = KGMTConfig(num_iterations=60, max_tree_size=2048,
-                      rollouts_per_iter=512)
+                      rollouts_per_iter=512, adaptive_waves=False)
     tree_mesh = make_planner_mesh(n_scenario=1, n_tree=8)
     st = ShardedTreePlanner(cfg2, mesh=tree_mesh)
     r = st.plan(Scenario.demo())

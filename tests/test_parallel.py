@@ -95,8 +95,10 @@ def test_multi_query_matches_unsharded():
 @pytest.mark.slow
 def test_sharded_tree_solves_and_uses_global_stats():
     mesh = make_planner_mesh(n_scenario=1, n_tree=8)
+    # adaptive_waves off: full fan-out fills these deliberately tiny 2048-slot
+    # shards in ~5 generations, too shallow to reach the goal
     cfg = KGMTConfig(num_iterations=60, max_tree_size=2048,
-                     rollouts_per_iter=512)
+                     rollouts_per_iter=512, adaptive_waves=False)
     planner = ShardedTreePlanner(cfg, mesh=mesh)
     res = planner.plan(Scenario.demo())
     assert res.solved
@@ -122,11 +124,63 @@ def test_sharded_tree_solves_and_uses_global_stats():
 def test_sharded_tree_deterministic():
     mesh = make_planner_mesh(n_scenario=1, n_tree=8)
     cfg = KGMTConfig(num_iterations=40, max_tree_size=1024,
-                     rollouts_per_iter=256)
+                     rollouts_per_iter=256, adaptive_waves=False)
     r1 = ShardedTreePlanner(cfg, mesh=mesh).plan(Scenario.demo())
     r2 = ShardedTreePlanner(cfg, mesh=mesh).plan(Scenario.demo())
     assert r1.cost == r2.cost
     assert r1.best_shard == r2.best_shard
+    np.testing.assert_array_equal(r1.path, r2.path)
+
+
+@pytest.mark.slow
+def test_sharded_tree_path_crosses_shards():
+    """The stitched path is a real parent chain of ONE logical tree: it ends
+    in the goal region, starts at the root, costs accumulate, and (with the
+    frontier exchange on by default) paths are ALLOWED to cross shards —
+    path_shards records the owner of every node."""
+    mesh = make_planner_mesh(n_scenario=1, n_tree=8)
+    cfg = KGMTConfig(num_iterations=60, max_tree_size=2048,
+                     rollouts_per_iter=512, adaptive_waves=False)
+    res = ShardedTreePlanner(cfg, mesh=mesh).plan(Scenario.demo())
+    assert res.solved
+    assert res.path_shards.shape[0] == res.path.shape[0]
+    # root of the stitched chain is the scenario init
+    np.testing.assert_allclose(res.path[0, :2], [5.0, 5.0])
+    d = np.hypot(res.path[-1, 0] - 2.0, res.path[-1, 1] - 18.0)
+    assert d < cfg.goal_threshold
+    # stitched costs: edge durations along the chain sum to the solution cost
+    assert abs(res.path[1:, 6].sum() - res.cost) < 1e-3
+    # the goal node's owner is reported as best_shard
+    assert res.path_shards[-1] == res.best_shard
+
+
+@pytest.mark.slow
+def test_sharded_tree_sterile_shard_rescued_by_exchange():
+    """Forced-sterile-shard witness (SURVEY.md P7 / VERDICT r1 item 1): one
+    shard's root is seeded INSIDE an obstacle, so every rollout from its own
+    frontier is invalid forever. Without frontier exchange that shard's tree
+    is stuck at size 1; with the exchange it imports foreign frontier nodes
+    and grows, while the collective still solves."""
+    mesh = make_planner_mesh(n_scenario=1, n_tree=8)
+    base = Scenario.demo()
+    trap = np.array([[14.0, 14.0, 16.0, 16.0]], np.float32)
+    sc = Scenario(init=base.init, goal=base.goal,
+                  obstacles=np.concatenate([base.obstacles, trap]))
+    inits = np.tile(base.init, (8, 1)).astype(np.float32)
+    inits[1, 0], inits[1, 1] = 15.0, 15.0  # inside the trap obstacle
+    cfg = KGMTConfig(num_iterations=60, max_tree_size=2048,
+                     rollouts_per_iter=512, adaptive_waves=False)
+
+    with_ex = ShardedTreePlanner(cfg, mesh=mesh).plan(sc, inits=inits)
+    assert with_ex.solved
+    assert with_ex.tree_sizes_by_shard[1] > 1, (
+        "sterile shard must grow by expanding foreign frontier nodes")
+
+    no_ex = ShardedTreePlanner(
+        cfg.replace(exchange_frac=0.0), mesh=mesh
+    ).plan(sc, inits=inits)
+    assert no_ex.tree_sizes_by_shard[1] == 1, (
+        "without exchange the walled-in shard can never grow")
 
 
 def test_random_scenarios_valid():
@@ -135,7 +189,9 @@ def test_random_scenarios_valid():
         jax.random.key(0), 16, cfg, num_obstacles=6
     )
     assert inits.shape == (16, 7) and goals.shape == (16, 7)
-    assert obstacles.shape == (16, cfg.max_obstacles, 4)
+    # tight-padded to a multiple of 8 (the collision loop is O(padded rows),
+    # Scenario.padded_obstacles), not to the config max of 32
+    assert obstacles.shape == (16, 8, 4)
     import jax.numpy as jnp
 
     for b in range(16):

@@ -155,8 +155,12 @@ def measure_multi_query(batch: int = 256) -> dict:
 
     # per-problem capacity must leave room to reach the goal at this wave
     # width: at 2048 rollouts/iter the demo needs ~18 waves and commits a few
-    # hundred nodes per wave, so 16k is safe (8k fills before solving)
-    cfg = KGMTConfig(max_tree_size=16384, rollouts_per_iter=2048)
+    # hundred nodes per wave, so 16k is safe (8k fills before solving).
+    # rollout_backend='pallas_rng': the in-kernel HW-PRNG path composes with
+    # vmap since the per-program seed tiles (rollout_pallas.seed_tiles) —
+    # only called on TPU (main() gates this probe on on_tpu).
+    cfg = KGMTConfig(max_tree_size=16384, rollouts_per_iter=2048,
+                     rollout_backend="pallas_rng")
     planner = MultiQueryPlanner(cfg)
     sc = Scenario.demo()
     inits = np.tile(sc.init, (batch, 1))
@@ -307,9 +311,23 @@ def main() -> None:
                 "tts_s": tts_biased["tts_s"], "cost": tts_biased["cost"],
                 "solve_rate": tts_biased["solve_rate"],
             } if tts_biased else None,
+            # CPU-mesh scaling-efficiency structural measurement
+            # (tools/scaling_bench.py writes this; BASELINE.md >=80% target)
+            "scaling": _load_scaling(),
         },
     }
     print(json.dumps(result))
+
+
+def _load_scaling() -> dict | None:
+    """Latest tools/scaling_bench.py result, if one was recorded."""
+    path = REPO / ".scaling_bench.json"
+    if not path.exists():
+        return None
+    try:
+        return json.loads(path.read_text())
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

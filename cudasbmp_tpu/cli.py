@@ -209,6 +209,22 @@ def main(argv: list[str] | None = None) -> int:
     p_sweep.add_argument("--scenarios", type=int, default=64)
     p_sweep.add_argument("--obstacles", type=int, default=8)
 
+    p_sharded = sub.add_parser(
+        "sharded", help="ONE logical tree sharded over the mesh 'tree' axis "
+        "(psum'd guidance + cross-shard frontier exchange); optional chunked "
+        "checkpointing with exact resume (elastic recovery)")
+    _add_config_args(p_sharded)
+    p_sharded.add_argument("--n-tree", type=int, default=0,
+                           help="tree-axis size (0 = all devices)")
+    p_sharded.add_argument("--checkpoint-dir", default=None,
+                           help="run in chunks, writing a full-state "
+                           "checkpoint after each (plan_checkpointed)")
+    p_sharded.add_argument("--checkpoint-every", type=int, default=4,
+                           help="iterations per chunk/checkpoint")
+    p_sharded.add_argument("--resume-from", default=None,
+                           help="checkpoint npz to resume from "
+                           "(requires --checkpoint-dir)")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "demo":
@@ -294,6 +310,37 @@ def main(argv: list[str] | None = None) -> int:
             "solves_per_sec": s.solves_per_sec,
         }, indent=2))
         return 0
+
+    if args.cmd == "sharded":
+        import jax
+
+        from cudasbmp_tpu.config import Scenario
+        from cudasbmp_tpu.parallel import ShardedTreePlanner, make_planner_mesh
+
+        cfg = _config_from_args(args)
+        n_tree = args.n_tree or len(jax.devices())
+        planner = ShardedTreePlanner(
+            cfg, mesh=make_planner_mesh(n_scenario=1, n_tree=n_tree))
+        sc = Scenario.demo()
+        if args.checkpoint_dir:
+            res = planner.plan_checkpointed(
+                sc, args.checkpoint_dir,
+                checkpoint_every=args.checkpoint_every,
+                resume_from=args.resume_from)
+        else:
+            res = planner.plan(sc)
+        print(json.dumps({
+            "n_tree": n_tree,
+            "solved": res.solved,
+            "cost": res.cost if res.solved else None,
+            "iterations": res.iterations,
+            "total_tree_size": res.total_tree_size,
+            "best_shard": res.best_shard,
+            "path_crosses_shards":
+                bool(len(set(res.path_shards.tolist())) > 1),
+            "wall_time_s": res.wall_time_s,
+        }, indent=2))
+        return 0 if res.solved else 1
 
     if args.cmd == "record":
         from cudasbmp_tpu.config import Scenario

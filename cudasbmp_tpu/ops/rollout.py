@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from cudasbmp_tpu.geometry.aabb import segment_aabb, segment_clear
 from cudasbmp_tpu.geometry.footprint import footprint_clear
 from cudasbmp_tpu.systems.base import System
+from cudasbmp_tpu.utils.vma import pvary_like
 
 Array = jax.Array
 
@@ -81,7 +82,9 @@ def rollout_batch(
         new_alive = alive & step_ok
         return (new_state, new_alive), None
 
-    alive0 = jnp.ones(x0.shape[0], bool)
+    # under shard_map the carry's alive mask must start with the same
+    # varying-axes type the body produces (utils/vma.py); no-op otherwise
+    alive0 = pvary_like(jnp.ones(x0.shape[0], bool), x0, controls, obstacles)
     (x1, valid), _ = jax.lax.scan(step, (x0, alive0), None, length=num_disc)
     return x1, valid
 

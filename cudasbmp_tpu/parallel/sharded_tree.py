@@ -44,28 +44,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cudasbmp_tpu.config import KGMTConfig, SAMPLE_DIM, Scenario
 from cudasbmp_tpu.geometry.grid import RegionGrid
+from cudasbmp_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 from cudasbmp_tpu.planners.kgmt import (
     KGMTState,
     init_state,
     kgmt_iteration,
+    pvary_tree,
 )
 from cudasbmp_tpu.systems.registry import get_system
 
 
 def kgmt_run_sharded(cfg: KGMTConfig, system, grid: RegionGrid, goal, obstacles,
-                     s0: KGMTState, axis_name: str) -> KGMTState:
+                     s0: KGMTState, axis_name: str,
+                     max_iters: int | None = None
+                     ) -> tuple[KGMTState, jax.Array]:
     """Collective while_loop over the sharded iteration; runs inside
-    shard_map. The done flag is computed in the body with psum and carried."""
+    shard_map. Returns (state, done): ``done`` is the psum'd global
+    termination flag — solution found anywhere, every shard full, or the
+    iteration budget spent. With ``max_iters`` set, this call runs at most
+    that many iterations (chunked execution for checkpoint/resume —
+    plan_checkpointed) and ``done`` tells the host loop whether to continue.
 
-    def cond(carry):
-        s, done = carry
-        return (s.itr < cfg.num_iterations) & ~done
+    VMA discipline (check_vma=True): the state carry is promoted to
+    device-varying up front (init_state mixes varying roots with replicated
+    zeros); the loop COND reads only device-invariant values — the psum'd
+    done flag and a replicated chunk counter — so every shard provably runs
+    the same trip count, which the body's collectives require (a varying
+    cond would compile but deadlock if trip counts ever diverged)."""
+    n_shards = jax.lax.axis_size(axis_name)
+    limit = cfg.num_iterations if max_iters is None else max_iters
 
-    def body(carry):
-        s, _ = carry
-        s = kgmt_iteration(cfg, system, grid, obstacles, goal, s,
-                           axis_name=axis_name)
-        n_shards = jax.lax.psum(jnp.ones((), jnp.int32), axis_name)
+    def global_done(s: KGMTState):
         solved_any = (
             jax.lax.psum(jnp.isfinite(s.cost_to_goal).astype(jnp.int32),
                          axis_name) > 0
@@ -74,10 +83,30 @@ def kgmt_run_sharded(cfg: KGMTConfig, system, grid: RegionGrid, goal, obstacles,
             jax.lax.psum((s.tree_size >= cfg.max_tree_size).astype(jnp.int32),
                          axis_name) == n_shards
         )
-        return s, solved_any | full_all
+        # s.itr advances in lockstep; psum-any makes the budget test
+        # device-invariant for the cond
+        budget_spent = (
+            jax.lax.psum((s.itr >= cfg.num_iterations).astype(jnp.int32),
+                         axis_name) > 0
+        )
+        return solved_any | full_all | budget_spent
 
-    s, _done = jax.lax.while_loop(cond, body, (s0, jnp.zeros((), bool)))
-    return s
+    def cond(carry):
+        _s, done, it = carry
+        return (it < limit) & ~done
+
+    def body(carry):
+        s, _, it = carry
+        s = kgmt_iteration(cfg, system, grid, obstacles, goal, s,
+                           axis_name=axis_name)
+        return s, global_done(s), it + 1
+
+    s0 = pvary_tree(s0, axis_name)
+    s, done, _it = jax.lax.while_loop(
+        cond, body,
+        (s0, global_done(s0), jnp.zeros((), jnp.int32)),
+    )
+    return s, done
 
 
 def stitch_path(parents_by_shard: np.ndarray, samples_by_shard: np.ndarray,
@@ -130,14 +159,21 @@ class ShardedTreePlanner:
         cfg, sys_ = self.config, self.system
         grid = RegionGrid(width=cfg.width, height=cfg.height, N=cfg.N, n=cfg.n)
 
-        def _shard_body(inits, goal, obstacles, key):
+        def _init_body(inits, key):
             # per-shard root (inits rows, usually all the same sample) and
-            # decorrelated RNG
+            # decorrelated RNG; leading length-1 axis re-assembles into the
+            # [n_shards, ...]-stacked global state under out_specs P("tree")
             shard = jax.lax.axis_index("tree")
             s0 = init_state(cfg, grid, inits[shard],
                             jax.random.fold_in(key, shard))
-            final = kgmt_run_sharded(cfg, sys_, grid, goal, obstacles, s0,
-                                     "tree")
+            return jax.tree.map(lambda x: x[None], pvary_tree(s0, "tree"))
+
+        def _shard_body(inits, goal, obstacles, key):
+            shard = jax.lax.axis_index("tree")
+            s0 = init_state(cfg, grid, inits[shard],
+                            jax.random.fold_in(key, shard))
+            final, _done = kgmt_run_sharded(cfg, sys_, grid, goal, obstacles,
+                                            s0, "tree")
             # Per-shard results; the host reduces. Full tree arrays are
             # returned for cross-shard path stitching (goal_node/parents are
             # GLOBAL ids). r1_score is computed from the psum'd GLOBAL
@@ -149,17 +185,48 @@ class ShardedTreePlanner:
                     final.tree_samples[None], final.tree_parent[None],
                     final.r1_score[None])
 
+        # check_vma stays ON (default) in all three programs below:
+        # replicated->varying carry transitions are annotated with pvary_tree
+        # at the loop boundaries (kgmt_run_sharded, kgmt_iteration) instead
+        # of disabling the static safety check wholesale (VERDICT r1).
         self._solve = jax.jit(
             jax.shard_map(
                 _shard_body,
                 mesh=mesh,
                 in_specs=(P(), P(), P(), P()),
                 out_specs=(P("tree"),) * 7,
-                # the rollout scan carry transitions replicated->varying on
-                # the first committed wave; skip the static VMA check
-                check_vma=False,
             )
         )
+        self._init_fn = jax.jit(
+            jax.shard_map(_init_body, mesh=mesh, in_specs=(P(), P()),
+                          out_specs=P("tree"))
+        )
+        self._chunk_fns: dict[int, object] = {}
+
+    def _chunk_fn(self, chunk: int):
+        """Jitted program advancing the stacked global state by at most
+        ``chunk`` iterations; returns (state, done). Cached per chunk size."""
+        if chunk not in self._chunk_fns:
+            cfg, sys_ = self.config, self.system
+            grid = RegionGrid(width=cfg.width, height=cfg.height, N=cfg.N,
+                              n=cfg.n)
+
+            def _chunk_body(state, goal, obstacles):
+                s = jax.tree.map(lambda x: x[0], state)  # this shard's slice
+                s, done = kgmt_run_sharded(cfg, sys_, grid, goal, obstacles,
+                                           s, "tree", max_iters=chunk)
+                return jax.tree.map(lambda x: x[None], s), done
+
+            self._chunk_fns[chunk] = jax.jit(
+                jax.shard_map(
+                    _chunk_body,
+                    mesh=self.mesh,
+                    in_specs=(P("tree"), P(), P()),
+                    # done is device-invariant (psum) -> replicated out_spec
+                    out_specs=(P("tree"), P()),
+                )
+            )
+        return self._chunk_fns[chunk]
 
     def plan(self, scenario: Scenario, seed: int | None = None,
              inits: np.ndarray | None = None) -> ShardedTreeResult:
@@ -189,6 +256,14 @@ class ShardedTreePlanner:
         (costs, sizes, iters, goal_nodes, trees, parents, scores) = (
             np.asarray(o) for o in outs)
         wall = time.perf_counter() - t0
+        return self._build_result(costs, sizes, iters, goal_nodes, trees,
+                                  parents, scores, wall)
+
+    def _build_result(self, costs, sizes, iters, goal_nodes, trees, parents,
+                      scores, wall) -> ShardedTreeResult:
+        """Host-side reduction + cross-shard path stitch shared by plan()
+        and plan_checkpointed()."""
+        cfg = self.config
         best = int(np.argmin(np.where(np.isfinite(costs), costs, np.inf)))
         solved = bool(np.isfinite(costs[best]))
         if solved:
@@ -211,4 +286,96 @@ class ShardedTreePlanner:
             path_shards=path_shards,
             tree_sizes_by_shard=sizes,
             r1_scores_by_shard=scores,
+        )
+
+    # -- elastic recovery: chunked solve with periodic global checkpoints ---
+
+    def _fetch_state(self, stacked: KGMTState) -> KGMTState:
+        """Device -> host copy of the stacked global state, replicating
+        across processes first if the mesh spans several (each process then
+        holds the FULL planner state — any process can restart the job)."""
+        leaves = jax.tree.leaves(stacked)
+        if not leaves[0].is_fully_addressable:
+            rep = NamedSharding(self.mesh, P())
+            stacked = jax.jit(lambda s: s, out_shardings=rep)(stacked)
+        return jax.device_get(stacked)
+
+    def _to_global(self, state: KGMTState) -> KGMTState:
+        """Host stacked state -> global device arrays sharded over the
+        ``tree`` axis. Every process passes the identical full state and
+        make_array_from_callback assembles the global array from each
+        process's addressable slices (device_put cannot target
+        non-addressable shardings). Typed PRNG keys travel as raw key data
+        and are re-wrapped under the target sharding."""
+        shard = NamedSharding(self.mesh, P("tree"))
+
+        def put(x):
+            if jax.dtypes.issubdtype(jax.numpy.asarray(x).dtype,
+                                     jax.dtypes.prng_key):
+                data = np.asarray(jax.random.key_data(x))
+                g = jax.make_array_from_callback(
+                    data.shape, shard, lambda idx: data[idx])
+                return jax.jit(jax.random.wrap_key_data,
+                               out_shardings=shard)(g)
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, shard, lambda idx: arr[idx])
+
+        return jax.tree.map(put, state)
+
+    def plan_checkpointed(self, scenario: Scenario, ckpt_dir,
+                          checkpoint_every: int = 4,
+                          seed: int | None = None,
+                          inits: np.ndarray | None = None,
+                          resume_from=None,
+                          chunk_delay_s: float = 0.0) -> ShardedTreeResult:
+        """Solve like plan(), but in ``checkpoint_every``-iteration chunks
+        with a full-state checkpoint (io/checkpoint.py npz of the stacked
+        [n_shards, ...] KGMTState pytree) written after every chunk —
+        process 0 writes, every process holds the replicated state. A job
+        killed at ANY point (including mid-write: the torn file fails to
+        load and the previous one is used) restarts from the newest intact
+        checkpoint via ``resume_from`` and finishes bit-identically to an
+        uninterrupted run — the multi-host elastic-recovery story of
+        SURVEY.md §5 (the single-process analog is KGMT.plan_recorded +
+        resume, tests/test_io.py)."""
+        from pathlib import Path
+
+        cfg = self.config
+        ckpt_dir = Path(ckpt_dir)
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        obstacles, _ = scenario.padded_obstacles(cfg.max_obstacles)
+        goal = jnp.asarray(scenario.goal)
+        obstacles = jnp.asarray(obstacles)
+        t0 = time.perf_counter()
+        if resume_from is not None:
+            stacked = self._to_global(load_checkpoint(resume_from))
+        else:
+            if inits is None:
+                inits = np.tile(scenario.init, (self.n_shards, 1))
+            inits = np.asarray(inits, np.float32)
+            if inits.shape != (self.n_shards, SAMPLE_DIM):
+                raise ValueError(
+                    f"inits must be [{self.n_shards}, {SAMPLE_DIM}]")
+            key = jax.random.key(cfg.seed if seed is None else seed)
+            stacked = self._init_fn(jnp.asarray(inits), key)
+        chunk_fn = self._chunk_fn(checkpoint_every)
+        while True:
+            stacked, done = chunk_fn(stacked, goal, obstacles)
+            host = self._fetch_state(stacked)
+            it = int(np.max(host.itr))
+            if jax.process_index() == 0:
+                save_checkpoint(host, ckpt_dir / f"sharded_checkpoint_{it}.npz")
+            if chunk_delay_s:
+                # fault-injection test aid: widen the window in which a kill
+                # lands mid-solve (tests/test_multihost.py)
+                time.sleep(chunk_delay_s)
+            if bool(np.asarray(jax.device_get(done))) or it >= cfg.num_iterations:
+                break
+        wall = time.perf_counter() - t0
+        return self._build_result(
+            np.asarray(host.cost_to_goal), np.asarray(host.tree_size),
+            np.asarray(host.itr), np.asarray(host.goal_node),
+            np.asarray(host.tree_samples), np.asarray(host.tree_parent),
+            np.asarray(host.r1_score), wall,
         )

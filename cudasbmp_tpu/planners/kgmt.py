@@ -46,8 +46,21 @@ from cudasbmp_tpu.ops.rollout import rollout_batch
 from cudasbmp_tpu.ops.segments import masked_multi_bincount
 from cudasbmp_tpu.planners.base import Planner
 from cudasbmp_tpu.systems.registry import get_system
+from cudasbmp_tpu.utils.vma import pvary_to
 
 Array = jax.Array
+
+
+def pvary_tree(tree, axis_name: str):
+    """Promote every device-REPLICATED leaf of a pytree to device-VARYING
+    over ``axis_name`` (shard_map's static VMA type system; leaves already
+    varying pass through — pcast rejects varying->varying). Needed at
+    control-flow boundaries in sharded-tree mode: a while_loop carry seeded
+    with replicated constants (zeros arrays, +inf sentinels) whose body
+    output is varying fails the VMA check otherwise. This annotation is what
+    lets the sharded planner run with check_vma=True instead of disabling
+    the safety check wholesale (ADVICE/VERDICT r1)."""
+    return pvary_to(tree, (axis_name,))
 
 
 class KGMTState(NamedTuple):
@@ -567,11 +580,16 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
     with jax.named_scope("kgmt_waves"):
         # r2_seen starts from the iteration-start availability snapshot
         # (the psum'd GLOBAL one in sharded mode) and accumulates arrivals
-        # across sub-waves locally.
+        # across sub-waves locally. In sharded mode the psum'd snapshot is
+        # device-INVARIANT while the body's accumulation is varying, so the
+        # carry is pvary-annotated up front (n_waves differs per shard — a
+        # varying trip count is legal precisely because sub_wave contains no
+        # collectives).
+        wave_init = (jnp.zeros((), jnp.int32), s, s_score.r2_avail)
+        if axis_name is not None:
+            wave_init = pvary_tree(wave_init, axis_name)
         _, s, _ = jax.lax.while_loop(
-            lambda c: c[0] < n_waves,
-            sub_wave,
-            (jnp.zeros((), jnp.int32), s, s_score.r2_avail),
+            lambda c: c[0] < n_waves, sub_wave, wave_init
         )
 
     stalled = s.tree_size == tree_size0
@@ -584,7 +602,7 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
     else:
         new_frontier_lo = tree_size0  # empty range when stalled
 
-    return s._replace(
+    out = s._replace(
         frontier_lo=new_frontier_lo,
         r1_score=r1_score,
         r1_threshold=r1_threshold,
@@ -593,6 +611,12 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
         m_frontier_size=s.m_frontier_size.at[it].set(frontier_size),
         m_tree_size=s.m_tree_size.at[it].set(s.tree_size),
     )
+    if axis_name is not None:
+        # r1_score/r1_threshold come from psum'd (device-invariant) stats;
+        # normalize every leaf to varying so the caller's while_loop carry
+        # has one consistent VMA type across iterations.
+        out = pvary_tree(out, axis_name)
+    return out
 
 
 def kgmt_run(cfg: KGMTConfig, system, grid: RegionGrid, goal: Array,

@@ -125,3 +125,13 @@ def test_cli_sweep():
                 "--num-iterations", "40")
     assert r.returncode == 0, r.stderr[-2000:]
     assert '"solves_per_sec"' in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_sharded_with_checkpointing(tmp_path):
+    r = run_cli("sharded", "--num-iterations", "60", "--max-tree-size",
+                "2048", "--rollouts-per-iter", "512", "--no-adaptive-waves",
+                "--checkpoint-dir", str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"solved": true' in r.stdout
+    assert list(tmp_path.glob("sharded_checkpoint_*.npz"))

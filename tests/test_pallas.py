@@ -228,3 +228,29 @@ def test_fast_math_constant_dtheta_systems(system, rng):
     np.testing.assert_allclose(np.array(xf), np.array(xe), rtol=1e-4,
                                atol=1e-3)
     assert (np.array(vf) == np.array(ve)).mean() >= 0.99
+
+
+def test_seed_tiles_vmap_composable():
+    """The 'pallas_rng' backend's per-program seed tiles (VERDICT r1 item 4):
+    block-constant, distinct per program, deterministic, distinct per seed,
+    and batchable with jax.vmap exactly like a state column. (The kernel
+    itself needs the TPU HW PRNG — its on-device lowering incl. under vmap
+    is exercised by tools/check_rng_vmap.py on real hardware.)"""
+    from cudasbmp_tpu.ops.rollout_pallas import LANES, seed_tiles
+
+    grid_n, block_rows = 4, 8
+    t = np.asarray(seed_tiles(jnp.int32(7), grid_n, block_rows))
+    assert t.shape == (grid_n * block_rows, LANES)
+    blocks = t.reshape(grid_n, block_rows * LANES)
+    # each program's block is one constant; programs never share a stream id
+    assert all(len(np.unique(b)) == 1 for b in blocks)
+    assert len(np.unique(blocks[:, 0])) == grid_n
+    np.testing.assert_array_equal(
+        t, np.asarray(seed_tiles(jnp.int32(7), grid_n, block_rows)))
+    assert not np.array_equal(
+        t, np.asarray(seed_tiles(jnp.int32(8), grid_n, block_rows)))
+    # vmap over seeds: one tile set per batch element, all distinct
+    vt = np.asarray(jax.vmap(lambda s: seed_tiles(s, grid_n, block_rows))(
+        jnp.arange(3, dtype=jnp.int32)))
+    assert vt.shape == (3, grid_n * block_rows, LANES)
+    assert len({int(v[0, 0]) for v in vt}) == 3

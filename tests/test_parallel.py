@@ -218,3 +218,32 @@ def test_monte_carlo_sweep():
     assert 0.0 <= summary.solve_rate <= 1.0
     assert summary.solve_rate > 0.4  # sparse obstacles: most should solve
     assert summary.solves_per_sec > 0
+
+
+@pytest.mark.slow
+def test_sharded_plan_checkpointed_matches_plan_and_resumes(tmp_path):
+    """Elastic recovery for the DISTRIBUTED mode (SURVEY.md §5): chunked
+    execution with periodic full-state checkpoints is bit-identical to the
+    one-shot solve, and resuming from an intermediate checkpoint reproduces
+    the exact final result (the 2-process kill-and-restart variant lives in
+    tests/test_multihost.py)."""
+    mesh = make_planner_mesh(n_scenario=1, n_tree=8)
+    cfg = KGMTConfig(num_iterations=60, max_tree_size=2048,
+                     rollouts_per_iter=512, adaptive_waves=False)
+    st = ShardedTreePlanner(cfg, mesh=mesh)
+    ref = st.plan(Scenario.demo())
+    assert ref.solved
+
+    r = st.plan_checkpointed(Scenario.demo(), tmp_path, checkpoint_every=3,
+                             seed=None)
+    assert r.solved and r.cost == ref.cost
+    np.testing.assert_array_equal(r.path, ref.path)
+    ckpts = sorted(tmp_path.glob("sharded_checkpoint_*.npz"),
+                   key=lambda p: int(p.stem.split("_")[-1]))
+    assert len(ckpts) >= 2, "expected several chunk checkpoints"
+
+    # resume from the EARLIEST checkpoint: same final cost and path
+    r2 = st.plan_checkpointed(Scenario.demo(), tmp_path / "resumed",
+                              checkpoint_every=3, resume_from=ckpts[0])
+    assert r2.solved and r2.cost == ref.cost
+    np.testing.assert_array_equal(r2.path, ref.path)

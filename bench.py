@@ -159,8 +159,12 @@ def measure_multi_query(batch: int = 256) -> dict:
     # rollout_backend='pallas_rng': the in-kernel HW-PRNG path composes with
     # vmap since the per-program seed tiles (rollout_pallas.seed_tiles) —
     # only called on TPU (main() gates this probe on on_tpu).
+    # adaptive_waves=False: the vmapped inner wave loop runs max(n_waves)
+    # over the whole batch every iteration, 3x-ing wall time for the same
+    # 100% solve rate (measured 33 vs 102 solves/s) — fixed wave width is
+    # the right throughput config for homogeneous batches (perf.md r2).
     cfg = KGMTConfig(max_tree_size=16384, rollouts_per_iter=2048,
-                     rollout_backend="pallas_rng")
+                     rollout_backend="pallas_rng", adaptive_waves=False)
     planner = MultiQueryPlanner(cfg)
     sc = Scenario.demo()
     inits = np.tile(sc.init, (batch, 1))

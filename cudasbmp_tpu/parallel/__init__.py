@@ -2,6 +2,7 @@ from cudasbmp_tpu.parallel.mesh import make_planner_mesh, device_count
 from cudasbmp_tpu.parallel.multi_query import MultiQueryPlanner
 from cudasbmp_tpu.parallel.monte_carlo import MonteCarloPlanner, random_scenarios
 from cudasbmp_tpu.parallel.sharded_tree import ShardedTreePlanner
+from cudasbmp_tpu.parallel.sharded_multi_query import ShardedMultiQueryPlanner
 
 __all__ = [
     "make_planner_mesh",
@@ -10,4 +11,5 @@ __all__ = [
     "MonteCarloPlanner",
     "random_scenarios",
     "ShardedTreePlanner",
+    "ShardedMultiQueryPlanner",
 ]

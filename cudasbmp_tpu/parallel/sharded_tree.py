@@ -51,6 +51,7 @@ from cudasbmp_tpu.planners.kgmt import (
     kgmt_iteration,
     pvary_tree,
 )
+from cudasbmp_tpu.utils.vma import pvary_like
 from cudasbmp_tpu.systems.registry import get_system
 
 
@@ -101,7 +102,10 @@ def kgmt_run_sharded(cfg: KGMTConfig, system, grid: RegionGrid, goal, obstacles,
                            axis_name=axis_name)
         return s, global_done(s), it + 1
 
-    s0 = pvary_tree(s0, axis_name)
+    # promote the carry to the union of axes the body output varies over —
+    # {axis_name} alone for the single-problem sharded tree, {scenario,
+    # axis_name} when the problem batch is itself sharded (sharded_multi_query)
+    s0 = pvary_like(s0, s0, goal, obstacles, extra_axes=(axis_name,))
     s, done, _it = jax.lax.while_loop(
         cond, body,
         (s0, global_done(s0), jnp.zeros((), jnp.int32)),

@@ -46,7 +46,7 @@ from cudasbmp_tpu.ops.rollout import rollout_batch
 from cudasbmp_tpu.ops.segments import masked_multi_bincount
 from cudasbmp_tpu.planners.base import Planner
 from cudasbmp_tpu.systems.registry import get_system
-from cudasbmp_tpu.utils.vma import pvary_to
+from cudasbmp_tpu.utils.vma import pvary_like, pvary_to
 
 Array = jax.Array
 
@@ -587,7 +587,10 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
         # collectives).
         wave_init = (jnp.zeros((), jnp.int32), s, s_score.r2_avail)
         if axis_name is not None:
-            wave_init = pvary_tree(wave_init, axis_name)
+            # promote to the union of ALL mesh axes the inputs vary over —
+            # in a (scenario, tree) mesh the state is varying over both
+            wave_init = pvary_like(wave_init, s, obstacles, goal,
+                                   extra_axes=(axis_name,))
         _, s, _ = jax.lax.while_loop(
             lambda c: c[0] < n_waves, sub_wave, wave_init
         )
@@ -612,10 +615,10 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
         m_tree_size=s.m_tree_size.at[it].set(s.tree_size),
     )
     if axis_name is not None:
-        # r1_score/r1_threshold come from psum'd (device-invariant) stats;
-        # normalize every leaf to varying so the caller's while_loop carry
-        # has one consistent VMA type across iterations.
-        out = pvary_tree(out, axis_name)
+        # r1_score/r1_threshold come from psum'd (invariant-over-axis_name)
+        # stats; normalize every leaf to the union of varying axes so the
+        # caller's while_loop carry has one consistent VMA type.
+        out = pvary_like(out, out, extra_axes=(axis_name,))
     return out
 
 

@@ -37,11 +37,14 @@ def pvary_to(tree, axes):
     return jax.tree.map(promote, tree)
 
 
-def pvary_like(tree, *refs):
+def pvary_like(tree, *refs, extra_axes=()):
     """Promote every leaf of ``tree`` to vary over the UNION of the axes the
-    reference values vary over — e.g. a scan carry init that must match a
-    body output computed from those references."""
-    axes: frozenset = frozenset()
+    reference values vary over (plus ``extra_axes``) — e.g. a scan carry
+    init that must match a body output computed from those references. In a
+    multi-axis mesh a carry can be varying over SEVERAL axes at once (a
+    scenario-sharded problem whose tree is sharded over a second axis), so
+    the target is always the full union, not one named axis."""
+    axes: frozenset = frozenset(extra_axes)
     for r in refs:
         for leaf in jax.tree.leaves(r):
             axes = axes | vma_of(leaf)

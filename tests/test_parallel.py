@@ -247,3 +247,65 @@ def test_sharded_plan_checkpointed_matches_plan_and_resumes(tmp_path):
                               checkpoint_every=3, resume_from=ckpts[0])
     assert r2.solved and r2.cost == ref.cost
     np.testing.assert_array_equal(r2.path, ref.path)
+
+
+@pytest.mark.slow
+def test_sharded_multi_query_batch_of_sharded_trees():
+    """BASELINE config 5 in full: a problem BATCH over the scenario axis,
+    each problem one collective sharded tree over the tree axis (psum'd
+    guidance + frontier exchange inside each problem, nothing between
+    problems). 4 problems x 2-shard trees on the 8-device mesh."""
+    from cudasbmp_tpu.parallel.sharded_multi_query import (
+        ShardedMultiQueryPlanner,
+    )
+
+    mesh = make_planner_mesh(n_scenario=4, n_tree=2)
+    cfg = KGMTConfig(num_iterations=60, max_tree_size=8192,
+                     rollouts_per_iter=1024, adaptive_waves=False)
+    planner = ShardedMultiQueryPlanner(cfg, mesh=mesh)
+    base = Scenario.demo()
+    B = 4
+    rng = np.random.default_rng(0)
+    inits = np.tile(base.init, (B, 1)).astype(np.float32)
+    goals = np.tile(base.goal, (B, 1)).astype(np.float32)
+    goals[:, 0] = rng.uniform(1.0, 3.0, B)
+    goals[:, 1] = rng.uniform(16.5, 18.5, B)
+    obstacles, _ = base.padded_obstacles(cfg.max_obstacles)
+    res = planner.plan_batch(inits, goals, obstacles, seed=3)
+    assert res.solved.all(), res.costs
+    for b in range(B):
+        path = res.paths[b]
+        # stitched chain: root at init, end in THIS problem's goal region
+        np.testing.assert_allclose(path[0, :2], [5.0, 5.0])
+        d = np.hypot(path[-1, 0] - goals[b, 0], path[-1, 1] - goals[b, 1])
+        assert d < cfg.goal_threshold
+        # edge durations along the chain sum to the reported cost
+        assert abs(path[1:, 6].sum() - res.costs[b]) < 1e-3
+        assert res.path_shards[b].shape[0] == path.shape[0]
+        # logical capacity spans both shards
+        assert res.total_tree_sizes[b] > 1
+    # different problems get different RNG streams -> different trees
+    assert len({int(t) for t in res.total_tree_sizes}) > 1 or \
+        len({float(c) for c in res.costs}) > 1
+
+
+@pytest.mark.slow
+def test_sharded_multi_query_deterministic():
+    from cudasbmp_tpu.parallel.sharded_multi_query import (
+        ShardedMultiQueryPlanner,
+    )
+
+    mesh = make_planner_mesh(n_scenario=2, n_tree=4)
+    cfg = KGMTConfig(num_iterations=40, max_tree_size=2048,
+                     rollouts_per_iter=512, adaptive_waves=False)
+    base = Scenario.demo()
+    inits = np.tile(base.init, (2, 1)).astype(np.float32)
+    goals = np.tile(base.goal, (2, 1)).astype(np.float32)
+    obstacles, _ = base.padded_obstacles(cfg.max_obstacles)
+    r1 = ShardedMultiQueryPlanner(cfg, mesh=mesh).plan_batch(
+        inits, goals, obstacles, seed=9)
+    r2 = ShardedMultiQueryPlanner(cfg, mesh=mesh).plan_batch(
+        inits, goals, obstacles, seed=9)
+    np.testing.assert_array_equal(r1.costs, r2.costs)
+    for b in range(2):
+        np.testing.assert_array_equal(r1.paths[b], r2.paths[b])

@@ -324,12 +324,19 @@ def main() -> None:
 
 
 def _load_scaling() -> dict | None:
-    """Latest tools/scaling_bench.py result, if one was recorded."""
+    """Latest tools/scaling_bench.py result, if one was recorded. This is a
+    RECORDED measurement from the CPU-mesh tool, not something this bench
+    run measured — stamp its age so a stale or foreign-host file can't
+    masquerade as fresh session data."""
     path = REPO / ".scaling_bench.json"
     if not path.exists():
         return None
     try:
-        return json.loads(path.read_text())
+        data = json.loads(path.read_text())
+        data["source"] = "tools/scaling_bench.py (recorded, CPU mesh)"
+        data["recorded_age_hours"] = round(
+            (time.time() - path.stat().st_mtime) / 3600.0, 1)
+        return data
     except Exception:
         return None
 

@@ -317,10 +317,22 @@ def main(argv: list[str] | None = None) -> int:
         from cudasbmp_tpu.config import Scenario
         from cudasbmp_tpu.parallel import ShardedTreePlanner, make_planner_mesh
 
+        if args.resume_from and not args.checkpoint_dir:
+            print("error: --resume-from requires --checkpoint-dir",
+                  file=sys.stderr)
+            return 2
         cfg = _config_from_args(args)
-        n_tree = args.n_tree or len(jax.devices())
+        n_dev = len(jax.devices())
+        n_tree = args.n_tree or n_dev
+        if n_dev % n_tree != 0:
+            print(f"error: --n-tree {n_tree} must divide the device count "
+                  f"{n_dev}", file=sys.stderr)
+            return 2
+        # remaining devices become scenario-axis data parallelism (unused
+        # by the single-problem solve but keeps the mesh well-formed)
         planner = ShardedTreePlanner(
-            cfg, mesh=make_planner_mesh(n_scenario=1, n_tree=n_tree))
+            cfg, mesh=make_planner_mesh(n_scenario=n_dev // n_tree,
+                                        n_tree=n_tree))
         sc = Scenario.demo()
         if args.checkpoint_dir:
             res = planner.plan_checkpointed(

@@ -23,6 +23,9 @@ _KEY_FIELD = "key"
 
 
 def save_checkpoint(state: KGMTState, path: str | os.PathLike) -> None:
+    """Atomic write: savez to a temp file, then os.replace — a process
+    killed mid-write (fault injection, preemption) never leaves a torn file
+    under the final name, so 'newest checkpoint' is always intact."""
     data = {}
     for name, val in state._asdict().items():
         if name == _KEY_FIELD:
@@ -30,7 +33,12 @@ def save_checkpoint(state: KGMTState, path: str | os.PathLike) -> None:
             data[name] = np.asarray(jax.random.key_data(val))
         else:
             data[name] = np.asarray(val)
-    np.savez(path, **data)
+    path = str(path)
+    if not path.endswith(".npz"):
+        path += ".npz"  # savez appends it; make the rename target explicit
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **data)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str | os.PathLike) -> KGMTState:

@@ -29,6 +29,25 @@ from cudasbmp_tpu.planners.kgmt import extract_path, kgmt_solve
 from cudasbmp_tpu.systems.registry import get_system
 
 
+def stack_scenarios(cfg: KGMTConfig, scenarios: list[Scenario]
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stack a scenario list into batched (inits, goals, obstacles) with ONE
+    static obstacle shape: tight-pad every scenario to the LARGEST one's
+    padded count (padded_obstacles rounds to a multiple of 8). Shared by the
+    batched planners (MultiQueryPlanner, ShardedMultiQueryPlanner) so the
+    padding policy lives in one place."""
+    inits = np.stack([s.init for s in scenarios])
+    goals = np.stack([s.goal for s in scenarios])
+    pad_to = max(
+        s.padded_obstacles(cfg.max_obstacles)[0].shape[0] for s in scenarios
+    )
+    obstacles = np.stack(
+        [s.padded_obstacles(cfg.max_obstacles, pad_to=pad_to)[0]
+         for s in scenarios]
+    )
+    return inits, goals, obstacles
+
+
 @dataclasses.dataclass
 class MultiQueryResult:
     solved: np.ndarray  # bool [B]
@@ -114,16 +133,5 @@ class MultiQueryPlanner:
 
     def plan_scenarios(self, scenarios: list[Scenario], seed: int = 0
                        ) -> MultiQueryResult:
-        cfg = self.config
-        inits = np.stack([s.init for s in scenarios])
-        goals = np.stack([s.goal for s in scenarios])
-        # one static obstacle shape for the whole batch: tight-pad to the
-        # LARGEST scenario's count (padded_obstacles rounds to a multiple of 8)
-        pad_to = max(
-            s.padded_obstacles(cfg.max_obstacles)[0].shape[0] for s in scenarios
-        )
-        obstacles = np.stack(
-            [s.padded_obstacles(cfg.max_obstacles, pad_to=pad_to)[0]
-             for s in scenarios]
-        )
+        inits, goals, obstacles = stack_scenarios(self.config, scenarios)
         return self.plan_batch(inits, goals, obstacles, seed=seed)

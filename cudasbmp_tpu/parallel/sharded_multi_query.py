@@ -33,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cudasbmp_tpu.config import KGMTConfig, SAMPLE_DIM, Scenario
 from cudasbmp_tpu.geometry.grid import RegionGrid
+from cudasbmp_tpu.parallel.multi_query import stack_scenarios
 from cudasbmp_tpu.parallel.sharded_tree import kgmt_run_sharded, stitch_path
 from cudasbmp_tpu.planners.kgmt import init_state
 from cudasbmp_tpu.systems.registry import get_system
@@ -153,15 +154,5 @@ class ShardedMultiQueryPlanner:
 
     def plan_scenarios(self, scenarios: list[Scenario], seed: int = 0
                        ) -> ShardedMultiQueryResult:
-        cfg = self.config
-        inits = np.stack([s.init for s in scenarios])
-        goals = np.stack([s.goal for s in scenarios])
-        pad_to = max(
-            s.padded_obstacles(cfg.max_obstacles)[0].shape[0]
-            for s in scenarios
-        )
-        obstacles = np.stack(
-            [s.padded_obstacles(cfg.max_obstacles, pad_to=pad_to)[0]
-             for s in scenarios]
-        )
+        inits, goals, obstacles = stack_scenarios(self.config, scenarios)
         return self.plan_batch(inits, goals, obstacles, seed=seed)

@@ -76,10 +76,6 @@ def kgmt_run_sharded(cfg: KGMTConfig, system, grid: RegionGrid, goal, obstacles,
     limit = cfg.num_iterations if max_iters is None else max_iters
 
     def global_done(s: KGMTState):
-        solved_any = (
-            jax.lax.psum(jnp.isfinite(s.cost_to_goal).astype(jnp.int32),
-                         axis_name) > 0
-        )
         full_all = (
             jax.lax.psum((s.tree_size >= cfg.max_tree_size).astype(jnp.int32),
                          axis_name) == n_shards
@@ -90,7 +86,16 @@ def kgmt_run_sharded(cfg: KGMTConfig, system, grid: RegionGrid, goal, obstacles,
             jax.lax.psum((s.itr >= cfg.num_iterations).astype(jnp.int32),
                          axis_name) > 0
         )
-        return solved_any | full_all | budget_spent
+        done = full_all | budget_spent
+        if cfg.stop_on_first_solution:
+            # anytime mode (stop_on_first_solution=False) keeps iterating
+            # past the first solution, retaining the cheapest — same
+            # semantics as the unsharded kgmt_run
+            done = done | (
+                jax.lax.psum(jnp.isfinite(s.cost_to_goal).astype(jnp.int32),
+                             axis_name) > 0
+            )
+        return done
 
     def cond(carry):
         _s, done, it = carry
@@ -353,7 +358,16 @@ class ShardedTreePlanner:
         obstacles = jnp.asarray(obstacles)
         t0 = time.perf_counter()
         if resume_from is not None:
-            stacked = self._to_global(load_checkpoint(resume_from))
+            loaded = load_checkpoint(resume_from)
+            n_ck = int(np.asarray(loaded.itr).shape[0])
+            if n_ck != self.n_shards:
+                # silently resharding would hand each shard a multi-row
+                # slice that _chunk_body's x[0] then truncates — corrupt
+                raise ValueError(
+                    f"checkpoint {resume_from} holds {n_ck} tree shards but "
+                    f"this planner's mesh has n_tree={self.n_shards}; "
+                    f"resume on a mesh with the same tree-axis size")
+            stacked = self._to_global(loaded)
         else:
             if inits is None:
                 inits = np.tile(scenario.init, (self.n_shards, 1))

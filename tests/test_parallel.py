@@ -248,6 +248,14 @@ def test_sharded_plan_checkpointed_matches_plan_and_resumes(tmp_path):
     assert r2.solved and r2.cost == ref.cost
     np.testing.assert_array_equal(r2.path, ref.path)
 
+    # resuming on a mesh with a different tree-axis size must refuse loudly
+    # (silent resharding would truncate shards)
+    bad = ShardedTreePlanner(cfg, mesh=make_planner_mesh(n_scenario=2,
+                                                         n_tree=4))
+    with pytest.raises(ValueError, match="tree shards"):
+        bad.plan_checkpointed(Scenario.demo(), tmp_path / "bad",
+                              resume_from=ckpts[0])
+
 
 @pytest.mark.slow
 def test_sharded_multi_query_batch_of_sharded_trees():
@@ -309,3 +317,21 @@ def test_sharded_multi_query_deterministic():
     np.testing.assert_array_equal(r1.costs, r2.costs)
     for b in range(2):
         np.testing.assert_array_equal(r1.paths[b], r2.paths[b])
+
+
+@pytest.mark.slow
+def test_sharded_tree_honors_stop_on_first_solution_flag():
+    """Anytime mode (stop_on_first_solution=False) must run the FULL budget
+    in sharded mode too — an earlier version stopped the collective loop at
+    the first solution regardless, silently truncating anytime solves and
+    skewing fixed-work benchmarks (code-review r2 finding)."""
+    mesh = make_planner_mesh(n_scenario=1, n_tree=8)
+    cfg = KGMTConfig(num_iterations=20, max_tree_size=8192,
+                     rollouts_per_iter=1024, adaptive_waves=False,
+                     stop_on_first_solution=False)
+    r = ShardedTreePlanner(cfg, mesh=mesh).plan(Scenario.demo())
+    assert r.iterations == 20, "anytime mode truncated early"
+    r2 = ShardedTreePlanner(
+        cfg.replace(stop_on_first_solution=True), mesh=mesh
+    ).plan(Scenario.demo())
+    assert r2.solved and r2.iterations < 20

@@ -182,3 +182,52 @@ def plot_metrics(metrics: dict, out_path: str = "metrics.png") -> str:
     fig.savefig(out_path, dpi=130, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def plot_sharded_path(result, config: KGMTConfig | None = None,
+                      obstacles: np.ndarray | None = None,
+                      out_path: str = "sharded_path.png") -> str:
+    """Render a ShardedTreeResult / one ShardedMultiQueryResult problem's
+    stitched solution path, each edge colored by the shard that OWNS its
+    child node — the visual witness that the sharded mode is one logical
+    tree whose paths cross shard boundaries. Edges are re-integrated from
+    the stored controls (the MATLAB _Single cross-check), so a drawn edge
+    that misses its node would expose a stitching bug."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cfg = config or KGMTConfig()
+    system = get_system(cfg.system)
+    path = np.asarray(result.path if hasattr(result, "path") else result)
+    shards = np.asarray(result.path_shards)
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.set_xlim(0, cfg.width)
+    ax.set_ylim(0, cfg.height)
+    ax.set_aspect("equal")
+    if obstacles is not None:
+        for (x0, y0, x1, y1) in obstacles:
+            ax.add_patch(plt.Rectangle((x0, y0), x1 - x0, y1 - y0,
+                                       color="0.3", zorder=2))
+    cmap = plt.get_cmap("tab10")
+    seen = set()
+    for i in range(1, len(path)):
+        sts = _integrate_edge_states(system, path[i - 1], path[i, 4:7],
+                                     cfg.num_disc)
+        d = int(shards[i])
+        label = f"shard {d}" if d not in seen else None
+        seen.add(d)
+        ax.plot(sts[:, 0], sts[:, 1], color=cmap(d % 10), lw=2.0, zorder=4,
+                label=label)
+    ax.scatter(path[:, 0], path[:, 1], s=14,
+               c=[cmap(int(d) % 10) for d in shards], zorder=5)
+    n_cross = int((shards[1:] != shards[:-1]).sum())
+    ax.set_title(f"sharded-tree path: {len(path)} nodes, "
+                 f"{len(seen)} shards, {n_cross} boundary crossings")
+    if seen:
+        ax.legend(loc="upper right", fontsize=8)
+    fig.savefig(out_path, dpi=130, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

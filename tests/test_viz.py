@@ -52,3 +52,22 @@ def test_plot_steps_frames(tmp_path):
                         out_dir=tmp_path / "frames", max_edges=50)
     assert len(frames) >= 1
     assert Path(frames[0]).exists()
+
+
+def test_plot_sharded_path(tmp_path):
+    """Shard-colored stitched-path rendering for sharded results."""
+    from cudasbmp_tpu.config import KGMTConfig, Scenario
+    from cudasbmp_tpu.parallel.mesh import make_planner_mesh
+    from cudasbmp_tpu.parallel.sharded_tree import ShardedTreePlanner
+    from cudasbmp_tpu.viz import plot_sharded_path
+
+    cfg = KGMTConfig(num_iterations=60, max_tree_size=2048,
+                     rollouts_per_iter=512, adaptive_waves=False)
+    res = ShardedTreePlanner(
+        cfg, mesh=make_planner_mesh(n_scenario=1, n_tree=8)
+    ).plan(Scenario.demo())
+    assert res.solved
+    out = plot_sharded_path(res, config=cfg,
+                            obstacles=Scenario.demo().obstacles,
+                            out_path=str(tmp_path / "sp.png"))
+    assert (tmp_path / "sp.png").stat().st_size > 10_000

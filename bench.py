@@ -123,18 +123,23 @@ def measure_prop_throughput(batch: int = BATCH, repeats: int | None = None,
 
 
 def measure_time_to_solution(rollout_backend: str = "auto",
-                             goal_bias: float = 0.0) -> dict:
-    """Wall time to first solution on the reference demo workload."""
+                             goal_bias: float = 0.0,
+                             scenario: str = "demo",
+                             **cfg_overrides) -> dict:
+    """Wall time to first solution. scenario: 'demo' (reference workload) or
+    'dense24' (BASELINE config 3's dense-obstacle field); cfg_overrides patch
+    KGMTConfig (e.g. N=32, n=8 for the fine-grid stress)."""
     from cudasbmp_tpu.config import KGMTConfig, Scenario
     from cudasbmp_tpu.planners.kgmt import KGMT
 
+    sc = Scenario.dense(24) if scenario == "dense24" else Scenario.demo()
     planner = KGMT(KGMTConfig(rollout_backend=rollout_backend,
-                              goal_bias=goal_bias))
+                              goal_bias=goal_bias, **cfg_overrides))
     # compile + warm the chip once (excluded, like the reference's in-plan
     # clock which also excludes CUDA compile)
-    planner.plan(Scenario.demo())
-    planner.plan(Scenario.demo(), seed=101)
-    results = [planner.plan(Scenario.demo(), seed=s) for s in range(3)]
+    planner.plan(sc)
+    planner.plan(sc, seed=101)
+    results = [planner.plan(sc, seed=s) for s in range(3)]
     solved = [r for r in results if r.solved]
     return {
         "solve_rate": len(solved) / len(results),
@@ -142,7 +147,69 @@ def measure_time_to_solution(rollout_backend: str = "auto",
         "tts_mean_s": (sum(r.wall_time_s for r in solved) / len(solved))
         if solved else None,
         "cost": min(r.cost for r in solved) if solved else None,
+        "iterations": min(r.iterations for r in solved) if solved else None,
     }
+
+
+def measure_device_tts(rollout_backend: str = "pallas_rng") -> dict:
+    """Relay-independent device-side time-to-solution (VERDICT r2 item 6):
+    run K full solves SEQUENTIALLY inside one dispatch (lax.scan over seeds)
+    at two K values; the slope d(wall)/dK is pure device time per solve —
+    the ~25-60 ms tunnel dispatch cost cancels in the difference. Wall TTS
+    stays the honest end-to-end number; this one is comparable across rounds
+    under varying relay load."""
+    import jax
+    import jax.numpy as jnp
+
+    from cudasbmp_tpu.config import KGMTConfig, Scenario
+    from cudasbmp_tpu.geometry.grid import RegionGrid
+    from cudasbmp_tpu.planners.kgmt import kgmt_solve
+    from cudasbmp_tpu.systems.registry import get_system
+
+    cfg = KGMTConfig(rollout_backend=rollout_backend)
+    system = get_system(cfg.system)
+    grid = RegionGrid(width=cfg.width, height=cfg.height, N=cfg.N, n=cfg.n)
+    sc = Scenario.demo()
+    obstacles = jnp.asarray(sc.padded_obstacles(cfg.max_obstacles)[0])
+    init, goal = jnp.asarray(sc.init), jnp.asarray(sc.goal)
+
+    def many(k: int):
+        @jax.jit
+        def run(key0):
+            def body(acc, i):
+                key = jax.random.fold_in(key0, i)
+                final = kgmt_solve(cfg, system, grid, init, goal, obstacles,
+                                   key)
+                return acc + final.cost_to_goal + final.itr, None
+
+            out, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                  jnp.arange(k, dtype=jnp.int32))
+            return out
+
+        return run
+
+    k_lo, k_hi = 2, 10
+    f_lo, f_hi = many(k_lo), many(k_hi)
+    key = jax.random.key(42)
+    f_lo(key).block_until_ready()  # compile
+    f_hi(key).block_until_ready()
+    t_lo = min(_walltime(f_lo, key) for _ in range(3))
+    t_hi = min(_walltime(f_hi, key) for _ in range(3))
+    per_solve = max(t_hi - t_lo, 0.0) / (k_hi - k_lo)
+    return {
+        "tts_device_s": per_solve,
+        "k_lo": k_lo, "k_hi": k_hi,
+        "wall_lo_s": t_lo, "wall_hi_s": t_hi,
+        "method": "slope of K sequential in-dispatch solves (seeds folded)",
+    }
+
+
+def _walltime(fn, *args) -> float:
+    import jax
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(*args))
+    return time.perf_counter() - t0
 
 
 def measure_multi_query(batch: int = 256) -> dict:
@@ -282,6 +349,13 @@ def main() -> None:
                             dense=True, fast_math=True) if on_tpu else None)
     tts_biased = (maybe(measure_time_to_solution, "pallas_rng",
                         goal_bias=0.3) if on_tpu else None)
+    # planner-level TTS on harder scenarios (VERDICT r2 item 5: the demo-only
+    # TTS bench could miss regressions on dense / fine-grid workloads)
+    tts_dense = (maybe(measure_time_to_solution, "pallas_rng",
+                       scenario="dense24") if on_tpu else None)
+    tts_fine = (maybe(measure_time_to_solution, "pallas_rng",
+                      scenario="dense24", N=32, n=8) if on_tpu else None)
+    dev_tts = maybe(measure_device_tts) if on_tpu else None
     cpu = cpu_baseline()
     value = best["valid_per_sec"]
     target = 10.0 * cpu if cpu == cpu else float("nan")  # >=10x CPU baseline
@@ -315,12 +389,34 @@ def main() -> None:
                 "tts_s": tts_biased["tts_s"], "cost": tts_biased["cost"],
                 "solve_rate": tts_biased["solve_rate"],
             } if tts_biased else None,
+            "tts_dense24": tts_dense,
+            "tts_fine_grid": tts_fine,
+            "tts_device_s": dev_tts["tts_device_s"] if dev_tts else None,
+            "tts_device_detail": dev_tts,
+            "mfu": _load_roofline(),
             # CPU-mesh scaling-efficiency structural measurement
             # (tools/scaling_bench.py writes this; BASELINE.md >=80% target)
             "scaling": _load_scaling(),
         },
     }
     print(json.dumps(result))
+
+
+def _load_roofline() -> dict | None:
+    """Latest tools/roofline.py result (speed-of-light/MFU accounting,
+    VERDICT r2 item 3), if one was recorded on real TPU hardware. Recorded
+    measurement — stamped with its age like the scaling extra."""
+    path = REPO / ".roofline.json"
+    if not path.exists():
+        return None
+    try:
+        data = json.loads(path.read_text())
+        data["source"] = "tools/roofline.py (recorded, real TPU)"
+        data["recorded_age_hours"] = round(
+            (time.time() - path.stat().st_mtime) / 3600.0, 1)
+        return data
+    except Exception:
+        return None
 
 
 def _load_scaling() -> dict | None:

@@ -126,6 +126,16 @@ def _run_plan(args: argparse.Namespace, scenario) -> int:
         print(f"shortcut: cost {out['cost_before']:.3f} -> "
               f"{out['cost_after']:.3f} ({len(result.path) - 1} -> "
               f"{out['n_edges']} edges)")
+    if getattr(args, "refine", False) and result.solved:
+        from cudasbmp_tpu.refine import refine_path
+
+        out = refine_path(planner.system, cfg, result.path, scenario.goal,
+                          scenario.obstacles)
+        kept = out["valid"] and out["cost_after"] < out["cost_before"]
+        print(f"refine: cost {out['cost_before']:.3f} -> "
+              f"{out['cost_after']:.3f} "
+              f"({'kept' if kept else 'rejected — original retained'}; "
+              f"hard-revalidation {'ok' if out['valid'] else 'FAILED'})")
     summary = summarize_result(result)
     print(json.dumps(summary, indent=2))
     if args.verbose:

@@ -71,3 +71,40 @@ def test_plot_sharded_path(tmp_path):
                             obstacles=Scenario.demo().obstacles,
                             out_path=str(tmp_path / "sp.png"))
     assert (tmp_path / "sp.png").stat().st_size > 10_000
+
+
+def test_batched_edge_integration_matches_single():
+    """The vmapped whole-tree re-integration (VERDICT r3 item 8) is the same
+    math as the per-edge MATLAB-style replay."""
+    import numpy as np
+
+    from cudasbmp_tpu.systems.registry import get_system
+    from cudasbmp_tpu.viz import _integrate_edge_states, _integrate_edges
+
+    system = get_system("bicycle")
+    rng = np.random.default_rng(0)
+    E = 40
+    x0s = rng.uniform(1, 19, (E, 7)).astype(np.float32)
+    ctrl = np.stack([
+        rng.uniform(-5, 5, E), rng.uniform(-3, 3, E),
+        rng.uniform(0.05, 1.05, E),
+    ], -1).astype(np.float32)
+    batch = _integrate_edges(system, x0s, ctrl, 10)
+    assert batch.shape == (E, 11, system.state_dim)
+    for i in (0, 7, 39):
+        one = _integrate_edge_states(system, x0s[i], ctrl[i], 10)
+        # vmap changes f32 fusion order; 1e-5 relative is float-noise level
+        # for these deliberately chaotic (high-|tan|) test trajectories
+        np.testing.assert_allclose(batch[i], one, rtol=2e-5, atol=1e-4)
+
+
+def test_plot_tree_uncapped_full_tree(small_config, demo_scenario, tmp_path):
+    """max_edges=None renders every edge of the solved tree (the former
+    per-edge host loop needed a 2000-edge cap)."""
+    from pathlib import Path
+
+    result = KGMT(small_config).plan(demo_scenario)
+    out = plot_tree(result=result, config=small_config,
+                    obstacles=demo_scenario.obstacles,
+                    out_path=str(tmp_path / "tree_full.png"))
+    assert Path(out).stat().st_size > 10_000

@@ -167,6 +167,9 @@ def main(argv: list[str] | None = None) -> int:
     p_demo.add_argument("--shortcut", action="store_true",
                         help="post-process the solution with kinodynamic "
                         "shortcutting")
+    p_demo.add_argument("--refine", action="store_true",
+                        help="post-process the solution with gradient "
+                        "trajectory refinement (hard-revalidated)")
 
     p_plan = sub.add_parser("plan", help="plan a configurations/ scenario")
     _add_config_args(p_plan)
@@ -178,6 +181,9 @@ def main(argv: list[str] | None = None) -> int:
     p_plan.add_argument("--shortcut", action="store_true",
                         help="post-process the solution with kinodynamic "
                         "shortcutting")
+    p_plan.add_argument("--refine", action="store_true",
+                        help="post-process the solution with gradient "
+                        "trajectory refinement (hard-revalidated)")
 
     p_probe = sub.add_parser("probe", help="raw propagation-throughput probes "
                              "(Naive/CostProp planner analogs)")
@@ -212,6 +218,11 @@ def main(argv: list[str] | None = None) -> int:
     p_multi.add_argument("--goal-jitter", type=float, default=1.0,
                          help="uniform jitter applied to the demo goal per "
                          "problem")
+    p_multi.add_argument("--impl", choices=["vmap", "arena"], default="vmap",
+                         help="'vmap' = per-problem while_loops (adaptive "
+                         "waves, goal bias supported); 'arena' = the "
+                         "scatter-free batched arena (fixed wave width, "
+                         "~10x faster at large B; parallel/batch_kgmt.py)")
 
     p_sweep = sub.add_parser("sweep", help="Monte-Carlo sweep over random "
                              "obstacle scenarios, data-parallel over devices")
@@ -280,7 +291,11 @@ def main(argv: list[str] | None = None) -> int:
         import numpy as np
 
         from cudasbmp_tpu.config import Scenario
-        from cudasbmp_tpu.parallel import MultiQueryPlanner, make_planner_mesh
+        from cudasbmp_tpu.parallel import (
+            ArenaMultiQueryPlanner,
+            MultiQueryPlanner,
+            make_planner_mesh,
+        )
 
         cfg = _config_from_args(args)
         base = Scenario.demo()
@@ -291,7 +306,9 @@ def main(argv: list[str] | None = None) -> int:
         goals[:, :2] += rng.uniform(-args.goal_jitter, args.goal_jitter,
                                     (B, 2)).astype(np.float32)
         obstacles, _ = base.padded_obstacles(cfg.max_obstacles)
-        planner = MultiQueryPlanner(cfg, mesh=make_planner_mesh())
+        cls = (ArenaMultiQueryPlanner if args.impl == "arena"
+               else MultiQueryPlanner)
+        planner = cls(cfg, mesh=make_planner_mesh())
         res = planner.plan_batch(inits, goals, obstacles, seed=cfg.seed)
         print(json.dumps({
             "batch": B,

@@ -39,12 +39,19 @@ REPEATS_BY_BACKEND = {"jnp": 200, "pallas": 2000, "pallas_rng": 2000}
 
 def measure_prop_throughput(batch: int = BATCH, repeats: int | None = None,
                             backend: str = "jnp", dense: bool = False,
-                            fast_math: bool = False) -> dict:
+                            fast_math: bool = False,
+                            cull: bool | None = None, grouped: bool = False,
+                            block_rows: int | None = None) -> dict:
     """Valid propagations/sec on the current default device.
 
     backend: 'jnp' (XLA-fused generic path) or 'pallas' (fused kernel).
     dense=True swaps in the 24-obstacle stress field (BASELINE config 3);
-    fast_math=True enables the chained-rotation trig kernels."""
+    fast_math=True enables the chained-rotation trig kernels.
+    cull: broad-phase per-program obstacle culling (None = auto by K);
+    grouped=True sorts the start states by R1 cell — the layout the planner
+    feeds the kernel after its frontier sort, which is what gives the broad
+    phase its tile locality (perf.md r3); block_rows overrides the kernel
+    program size."""
     import jax
     import jax.numpy as jnp
 
@@ -61,6 +68,7 @@ def measure_prop_throughput(batch: int = BATCH, repeats: int | None = None,
     system = get_system("bicycle")
     scenario = Scenario.dense(24) if dense else Scenario.demo()
     obstacles = jnp.asarray(scenario.obstacles)
+    pk = dict(cull=cull, block_rows=block_rows)
 
     def one_wave(key, x0):
         if backend == "pallas_rng":
@@ -72,14 +80,14 @@ def measure_prop_throughput(batch: int = BATCH, repeats: int | None = None,
             seed = jax.random.randint(key, (), 0, 2**31 - 1)
             _, _, valid = sample_and_rollout_bicycle_pallas(
                 seed, x0, obstacles, num_disc=NUM_DISC,
-                width=20.0, height=20.0, fast_math=fast_math,
+                width=20.0, height=20.0, fast_math=fast_math, **pk,
             )
             return valid.sum(dtype=jnp.int32)
         controls = system.control_spec.sample(key, (batch,))
         if backend == "pallas":
             _, valid = rollout_bicycle_pallas(
                 x0, controls, obstacles, num_disc=NUM_DISC,
-                width=20.0, height=20.0, fast_math=fast_math,
+                width=20.0, height=20.0, fast_math=fast_math, **pk,
             )
         else:
             _, valid = rollout_batch(system, x0, controls, NUM_DISC,
@@ -101,6 +109,18 @@ def measure_prop_throughput(batch: int = BATCH, repeats: int | None = None,
     x0 = jax.random.uniform(key, (batch, system.state_dim), minval=1.0,
                             maxval=19.0)
     x0 = x0.at[:, 2:].set(0.0)
+    if grouped:
+        # Z-order (Morton) cell layout over the 16x16 R1 grid: kernel
+        # programs see spatially SQUARE lane neighborhoods (row-major order
+        # gives full-width strips — measured ~20% worse broad-phase culling,
+        # perf.md r3), exactly like a sorted planner wave
+        cx = jnp.floor(x0[:, 0] / 1.25).astype(jnp.int32)
+        cy = jnp.floor(x0[:, 1] / 1.25).astype(jnp.int32)
+        z = jnp.zeros_like(cx)
+        for b in range(4):
+            z = z | (((cx >> b) & 1) << (2 * b)) | (((cy >> b) & 1)
+                                                    << (2 * b + 1))
+        x0 = x0[jnp.argsort(z)]
 
     int(probe(key, x0))  # warmup/compile
     # best-of-N: the shared chip needs a few passes to reach steady state
@@ -369,6 +389,11 @@ def main() -> None:
     # rounds); the fast_math variant gets its own, separately named key
     thr_dense = (maybe(measure_prop_throughput, backend="pallas_rng",
                        dense=True) if on_tpu else None)
+    # broad-phase variant (VERDICT r2 item 1): Z-order-grouped lanes + the
+    # per-program obstacle cull — the layout a sorted planner wave feeds
+    thr_dense_culled = (maybe(measure_prop_throughput, backend="pallas_rng",
+                              dense=True, cull=True, grouped=True)
+                        if on_tpu else None)
     thr_dense_fast = (maybe(measure_prop_throughput, backend="pallas_rng",
                             dense=True, fast_math=True) if on_tpu else None)
     tts_biased = (maybe(measure_time_to_solution, "pallas_rng",
@@ -408,6 +433,9 @@ def main() -> None:
             "multi_query_256_vmap": mq_vmap,
             "dense24_valid_per_sec": round(thr_dense["valid_per_sec"], 1)
             if thr_dense else None,
+            "dense24_grouped_culled_valid_per_sec": round(
+                thr_dense_culled["valid_per_sec"], 1)
+            if thr_dense_culled else None,
             "dense24_fast_math_valid_per_sec": round(
                 thr_dense_fast["valid_per_sec"], 1) if thr_dense_fast else None,
             "tts_goal_biased": {

@@ -140,9 +140,160 @@ def _integrate(system, comps, ctrl, dur, obs, num_disc: int,
     return comps, alive
 
 
+def _integrate_culled(system, comps, ctrl, dur, obs, num_disc: int,
+                      width: float, height: float,
+                      footprint: tuple[float, float] | None = None,
+                      fast_math: bool = False):
+    """Occupancy-style broad phase for dense obstacle fields (VERDICT r2
+    item 1; reference intent: occupancyMaps/OccupancyGrid.cuh:7-25 vs the
+    O(K)-per-step loop collisionCheck.cu:16-28).
+
+    On a SIMD VPU, per-lane work cannot be skipped — only PROGRAM-uniform
+    (scalar) conditions skip instructions. So the broad phase is per kernel
+    program: integrate all ``num_disc`` candidate steps unconditionally
+    (pass 1), reduce the program's union trajectory AABB to scalars, and for
+    each obstacle run the per-step exact tests under ``lax.cond`` on the
+    scalar "program bbox overlaps obstacle" predicate (pass 2). A culled
+    obstacle is provably separated from every lane's every swept AABB, so
+    skipping is EXACT — bit-identical (x1, valid) to ``_integrate``
+    (asserted in tests/test_pallas.py). Effectiveness depends on tile
+    locality: the planner sorts each wave by R1 cell so a program's lanes
+    share a neighborhood; random unsorted batches cull ~nothing and pay a
+    small fixed overhead (measured in perf.md r3).
+
+    First-failure ("break") semantics are reconstructed: one-pass freezing
+    yields the candidate position of the first failing step, which equals
+    the unconditional chain's position there (the lane was alive until it),
+    so selecting positions[min(first_fail, num_disc-1)] is bitwise equal.
+    Validity for steps past the first failure differs between the designs
+    (frozen vs unconditional positions) but is dead either way.
+    """
+    dt = dur / num_disc
+    use_fast = fast_math and hasattr(system, "soa_step_fast")
+    if use_fast:
+        carry, aux = system.soa_prepare_fast(comps, ctrl, dt)
+    else:
+        aux = system.soa_prepare(ctrl)
+    heading_index = getattr(system, "heading_index", None)
+    # Storage note (negative result, perf.md r3): a "compact" variant that
+    # kept only bboxes + packed direction bits and re-derived theta/v by a
+    # trig-free freeze chain measured ~2% SLOWER than simply keeping every
+    # step's full state live — Mosaic absorbs the register pressure; the
+    # reconstruction ops are pure overhead. Keep the simple layout.
+
+    # ---- pass 1: unconditional candidate chain ----------------------------
+    positions = []  # per step: the full new comps tuple
+    bboxes = []  # per step: swept AABB (min_x, max_x, min_y, max_y)
+    poses = []  # per step: (cos, sin) of the post-step heading (footprint)
+    cur = comps
+    for i in range(num_disc):
+        if use_fast:
+            new, carry = system.soa_step_fast(cur, carry, aux, dt)
+        else:
+            new = system.soa_step(cur, aux, dt)
+        nx, ny, x, y = new[0], new[1], cur[0], cur[1]
+        bboxes.append((jnp.minimum(x, nx), jnp.maximum(x, nx),
+                       jnp.minimum(y, ny), jnp.maximum(y, ny)))
+        if footprint is not None:
+            if use_fast and heading_index is not None:
+                poses.append((carry[0], carry[1]))
+            elif heading_index is not None:
+                theta = new[heading_index]
+                poses.append((jnp.cos(theta), jnp.sin(theta)))
+            else:
+                poses.append((jnp.ones_like(nx), jnp.zeros_like(nx)))
+        positions.append(new)
+        # fold the workspace-bounds failure into the first-failure index
+        oob = ~((nx > 0.0) & (nx < width) & (ny > 0.0) & (ny < height))
+        fi = jnp.where(oob, jnp.int32(i), jnp.int32(num_disc))
+        fail = fi if i == 0 else jnp.minimum(fail, fi)
+        cur = new
+
+    # ---- program-level union trajectory AABB (scalars) --------------------
+    def _chain(op, vals):
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = op(acc, v)
+        return acc
+
+    tb_min_x = jnp.min(_chain(jnp.minimum, [b[0] for b in bboxes]))
+    tb_max_x = jnp.max(_chain(jnp.maximum, [b[1] for b in bboxes]))
+    tb_min_y = jnp.min(_chain(jnp.minimum, [b[2] for b in bboxes]))
+    tb_max_y = jnp.max(_chain(jnp.maximum, [b[3] for b in bboxes]))
+    if footprint is not None:
+        # the oriented footprint reaches at most hl + hypot(hl, hw) from the
+        # reference point, in any direction — pad the union bbox by that
+        hl, hw = footprint
+        pad = hl + float(np_hypot(hl, hw))
+        tb_min_x, tb_max_x = tb_min_x - pad, tb_max_x + pad
+        tb_min_y, tb_max_y = tb_min_y - pad, tb_max_y + pad
+
+    BIG = num_disc  # sentinel: "no failure"
+
+    # ---- pass 2: per-obstacle exact tests under a scalar cull -------------
+    for (oxmin, oymin, oxmax, oymax) in obs:
+        overlap = ~((tb_max_x <= oxmin) | (oxmax <= tb_min_x)
+                    | (tb_max_y <= oymin) | (oymax <= tb_min_y))
+
+        def _test(f, oxmin=oxmin, oymin=oymin, oxmax=oxmax, oymax=oymax):
+            for i, (bmnx, bmxx, bmny, bmxy) in enumerate(bboxes):
+                hit = ~((bmxx <= oxmin) | (oxmax <= bmnx)
+                        | (bmxy <= oymin) | (oymax <= bmny))
+                if footprint is not None:
+                    hl, hw = footprint
+                    ct, st = poses[i]
+                    nx, ny = positions[i][0], positions[i][1]
+                    bcx = (oxmin + oxmax) * 0.5
+                    bcy = (oymin + oymax) * 0.5
+                    bhx = (oxmax - oxmin) * 0.5
+                    bhy = (oymax - oymin) * 0.5
+                    valid_box = (bhx >= 0) & (bhy >= 0)
+                    fcx = nx + hl * ct
+                    fcy = ny + hl * st
+                    act, ast = jnp.abs(ct), jnp.abs(st)
+                    dx = fcx - bcx
+                    dy = fcy - bcy
+                    sep_x = jnp.abs(dx) >= bhx + hl * act + hw * ast
+                    sep_y = jnp.abs(dy) >= bhy + hl * ast + hw * act
+                    sep_u = (jnp.abs(dx * ct + dy * st)
+                             >= hl + bhx * act + bhy * ast)
+                    sep_v = (jnp.abs(dy * ct - dx * st)
+                             >= hw + bhx * ast + bhy * act)
+                    hit = hit | (valid_box
+                                 & ~(sep_x | sep_y | sep_u | sep_v))
+                f = jnp.minimum(
+                    f, jnp.where(hit, jnp.int32(i), jnp.int32(BIG)))
+            return f
+
+        fail = jax.lax.cond(overlap, _test, lambda f: f, fail)
+
+    # ---- reconstruct the frozen output ------------------------------------
+    # One-pass semantics: a lane takes candidate steps while alive at step
+    # entry (fail >= i), INCLUDING the failing step itself, so the final
+    # state is step min(fail, num_disc-1)'s candidate.
+    alive = fail >= BIG
+    take = jnp.minimum(fail, BIG - 1)
+    out = positions[0]
+    for i in range(1, num_disc):
+        sel = take >= i
+        out = [jnp.where(sel, n, o) for n, o in zip(positions[i], out)]
+    return out, alive
+
+
+def np_hypot(a: float, b: float) -> float:
+    return float((a * a + b * b) ** 0.5)
+
+
+# The broad phase is OPT-IN (cull=None means off): it only pays when the
+# caller feeds spatially grouped lanes (sorted planner waves, bench
+# grouped=True); on unsorted input nothing culls and the two-pass overhead
+# (union-bbox reduce + first-failure selects + VMEM pressure from all-steps-
+# live positions) costs ~15-17% (measured, perf.md r3).
+
+
 def _rollout_kernel(system, num_disc: int, num_obstacles: int,
                     width: float, height: float, S: int, C: int,
-                    footprint, fast_math, *refs):
+                    footprint, fast_math, cull, *refs):
     """refs: S state + C control + dur + obstacles | S out-state + valid."""
     state_refs = refs[:S]
     ctrl_refs = refs[S:S + C]
@@ -156,8 +307,9 @@ def _rollout_kernel(system, num_disc: int, num_obstacles: int,
     # hoist obstacle scalars out of the step loop (one VMEM scalar load each)
     obs = [(obs_ref[k, 0], obs_ref[k, 1], obs_ref[k, 2], obs_ref[k, 3])
            for k in range(num_obstacles)]
-    comps, alive = _integrate(system, comps, ctrl, dur_ref[:], obs,
-                              num_disc, width, height, footprint, fast_math)
+    body = _integrate_culled if cull else _integrate
+    comps, alive = body(system, comps, ctrl, dur_ref[:], obs,
+                        num_disc, width, height, footprint, fast_math)
     for ref, c in zip(out_refs, comps):
         ref[:] = c
     valid_ref[:] = alive.astype(jnp.int32)
@@ -171,7 +323,7 @@ def _tile_spec(block_rows: int):
 @functools.partial(
     jax.jit,
     static_argnames=("system", "num_disc", "width", "height", "interpret",
-                     "block_rows", "footprint", "fast_math"),
+                     "block_rows", "footprint", "fast_math", "cull"),
 )
 def rollout_pallas(
     system,
@@ -186,17 +338,22 @@ def rollout_pallas(
     block_rows: int | None = None,
     footprint: tuple[float, float] | None = None,
     fast_math: bool = False,
+    cull: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused rollout for any SoA-capable system. Same contract as
     ops.rollout.rollout_batch (including the optional oriented-footprint
     narrow phase): returns (x1 [B, state_dim], valid [B]).
 
     B is padded internally to a multiple of the kernel block (8192 lanes).
+    cull: opt-in per-program broad-phase obstacle culling
+    (_integrate_culled) — worth it only for spatially grouped inputs on
+    dense fields; results match the one-pass body either way.
     """
     B = x0.shape[0]
     K = obstacles.shape[0]
     S = system.state_dim
     C = system.control_spec.dim - 1  # non-duration controls
+    cull = bool(cull)
     if block_rows is None:
         block_rows = _default_block_rows(footprint)
     block = block_rows * LANES
@@ -218,7 +375,7 @@ def rollout_pallas(
 
     kernel = functools.partial(
         _rollout_kernel, system, num_disc, K, width, height, S, C, footprint,
-        fast_math,
+        fast_math, cull,
     )
     outs = pl.pallas_call(
         kernel,
@@ -237,6 +394,7 @@ def rollout_bicycle_pallas(
     x0, controls, obstacles, *, num_disc, width, height,
     agent_length: float = 1.0, interpret: bool = False,
     block_rows: int | None = None, fast_math: bool = False,
+    cull: bool | None = None,
 ):
     """Bicycle-specialized entry point (kept for the bench/test surface)."""
     from cudasbmp_tpu.systems.bicycle import KinematicBicycle
@@ -244,7 +402,7 @@ def rollout_bicycle_pallas(
     return rollout_pallas(
         KinematicBicycle(agent_length=agent_length), x0, controls, obstacles,
         num_disc=num_disc, width=width, height=height, interpret=interpret,
-        block_rows=block_rows, fast_math=fast_math,
+        block_rows=block_rows, fast_math=fast_math, cull=cull,
     )
 
 
@@ -286,7 +444,7 @@ def seed_tiles(seed: jax.Array, grid_n: int, block_rows: int) -> jax.Array:
 
 def _rollout_rng_kernel(system, num_disc: int, num_obstacles: int,
                         width: float, height: float, S: int, C: int,
-                        control_bounds, footprint, fast_math, *refs):
+                        control_bounds, footprint, fast_math, cull, *refs):
     """refs: seed + S state + obstacles | S out-state + (C+1) controls
     + valid."""
     seed_ref = refs[0]
@@ -316,8 +474,9 @@ def _rollout_rng_kernel(system, num_disc: int, num_obstacles: int,
     comps = [r[:] for r in state_refs]
     obs = [(obs_ref[k, 0], obs_ref[k, 1], obs_ref[k, 2], obs_ref[k, 3])
            for k in range(num_obstacles)]
-    comps, alive = _integrate(system, comps, ctrl, dur, obs,
-                              num_disc, width, height, footprint, fast_math)
+    body = _integrate_culled if cull else _integrate
+    comps, alive = body(system, comps, ctrl, dur, obs,
+                        num_disc, width, height, footprint, fast_math)
     for ref, c in zip(out_refs, comps):
         ref[:] = c
     valid_ref[:] = alive.astype(jnp.int32)
@@ -326,7 +485,7 @@ def _rollout_rng_kernel(system, num_disc: int, num_obstacles: int,
 @functools.partial(
     jax.jit,
     static_argnames=("system", "num_disc", "width", "height", "interpret",
-                     "block_rows", "footprint", "fast_math"),
+                     "block_rows", "footprint", "fast_math", "cull"),
 )
 def sample_and_rollout_pallas(
     system,
@@ -341,16 +500,19 @@ def sample_and_rollout_pallas(
     block_rows: int | None = None,
     footprint: tuple[float, float] | None = None,
     fast_math: bool = False,
+    cull: bool | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fully fused sample+rollout: controls drawn inside the kernel by the
     hardware PRNG from the system's control bounds. Returns
-    (x1 [B, S], controls [B, C+1], valid [B])."""
+    (x1 [B, S], controls [B, C+1], valid [B]). ``cull`` as in
+    rollout_pallas."""
     B = x0.shape[0]
     K = obstacles.shape[0]
     S = system.state_dim
     C = system.control_spec.dim - 1
     spec = system.control_spec
     control_bounds = tuple(zip(spec.lo, spec.hi))
+    cull = bool(cull)
     if block_rows is None:
         block_rows = _default_block_rows(footprint)
     block = block_rows * LANES
@@ -373,7 +535,7 @@ def sample_and_rollout_pallas(
     )
     kernel = functools.partial(
         _rollout_rng_kernel, system, num_disc, K, width, height, S, C,
-        control_bounds, footprint, fast_math,
+        control_bounds, footprint, fast_math, cull,
     )
     outs = pl.pallas_call(
         kernel,
@@ -395,7 +557,7 @@ def sample_and_rollout_bicycle_pallas(
     agent_length: float = 1.0,
     control_bounds: tuple | None = None,
     interpret: bool = False, block_rows: int | None = None,
-    fast_math: bool = False,
+    fast_math: bool = False, cull: bool | None = None,
 ):
     """Bicycle-specialized entry point (kept for the bench/test surface).
     ``control_bounds`` overrides the system's sampling box if given."""
@@ -413,5 +575,5 @@ def sample_and_rollout_bicycle_pallas(
     return sample_and_rollout_pallas(
         system, seed, x0, obstacles, num_disc=num_disc, width=width,
         height=height, interpret=interpret, block_rows=block_rows,
-        fast_math=fast_math,
+        fast_math=fast_math, cull=cull,
     )

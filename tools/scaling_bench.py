@@ -110,6 +110,60 @@ print("RESULT " + json.dumps({
 """
 
 
+COMBINED_WORKER = """
+import os, sys, json, time
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, %(repo)r)
+import numpy as np
+from cudasbmp_tpu.config import KGMTConfig, Scenario
+from cudasbmp_tpu.parallel.mesh import make_planner_mesh
+from cudasbmp_tpu.parallel.multi_query import MultiQueryPlanner
+from cudasbmp_tpu.parallel.sharded_multi_query import ShardedMultiQueryPlanner
+
+ITERS = 20
+cfg = KGMTConfig(num_iterations=ITERS, max_tree_size=8192,
+                 rollouts_per_iter=1024, adaptive_waves=False,
+                 stop_on_first_solution=False)  # fixed work per problem
+sc = Scenario.demo()
+obstacles, _ = sc.padded_obstacles(cfg.max_obstacles)
+
+# combined (scenario, tree) = (4, 2) mesh: 8 problems, each a 2-shard
+# logical tree -> every device runs 2 problems x R rollouts/iter, with the
+# tree collectives (guidance psum + exchange all_gather + termination psum)
+# live inside each device pair every iteration
+smq = ShardedMultiQueryPlanner(
+    cfg, mesh=make_planner_mesh(n_scenario=4, n_tree=2))
+B = 8
+inits = np.tile(sc.init, (B, 1))
+goals = np.tile(sc.goal, (B, 1))
+smq.plan_batch(inits, goals, obstacles, seed=1)  # compile + warm
+t_comb = min(smq.plan_batch(inits, goals, obstacles, seed=2).wall_time_s
+             for _ in range(3))
+
+# zero-collective baseline with the IDENTICAL per-device workload: 16
+# independent problems on 8 devices = 2 problems x R rollouts per device
+mq = MultiQueryPlanner(cfg, mesh=make_planner_mesh(n_scenario=8, n_tree=1))
+inits16 = np.tile(sc.init, (16, 1))
+goals16 = np.tile(sc.goal, (16, 1))
+mq.plan_batch(inits16, goals16, obstacles, seed=1)  # compile + warm
+t_ind = min(mq.plan_batch(inits16, goals16, obstacles, seed=2).wall_time_s
+            for _ in range(3))
+
+print("RESULT " + json.dumps({
+    "iterations": ITERS,
+    "mesh": "scenario=4 x tree=2",
+    "combined_wall_s": t_comb,
+    "independent_wall_s": t_ind,
+    "combined_ms_per_iter": 1e3 * t_comb / ITERS,
+    "independent_ms_per_iter": 1e3 * t_ind / ITERS,
+    "comm_fraction": max(0.0, (t_comb - t_ind) / t_comb),
+    "efficiency": min(1.0, t_ind / t_comb),
+}))
+"""
+
+
 def _run(code: str, timeout: int = 1200) -> dict:
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=timeout, cwd=REPO)
@@ -138,10 +192,16 @@ def main() -> None:
           f"{sh['independent_ms_per_iter']:.1f} independent -> "
           f"comm fraction {sh['comm_fraction']:.3f}, "
           f"efficiency {sh['efficiency']:.3f}")
+    comb = _run(COMBINED_WORKER % {"repo": str(REPO)})
+    print(f"combined 4x2 mesh: {comb['combined_ms_per_iter']:.1f} ms/iter vs "
+          f"{comb['independent_ms_per_iter']:.1f} independent -> "
+          f"comm fraction {comb['comm_fraction']:.3f}, "
+          f"efficiency {comb['efficiency']:.3f}")
     result = {
         "physical_cores": cores,
         "multi_query_strong_scaling": mq,
         "sharded_tree_comm_overhead": sh,
+        "combined_scenario_tree_comm_overhead": comb,
         "note": ("CPU-mesh structural measurement: collectives are emulated "
                  "through host memory, so sharded-tree efficiency here is a "
                  "LOWER bound for the same program on ICI-attached TPU "

@@ -119,6 +119,17 @@ def test_cli_multi():
 
 
 @pytest.mark.slow
+def test_cli_multi_arena():
+    """--impl arena routes through the scatter-free batched planner."""
+    r = run_cli("multi", "--impl", "arena", "--batch", "8",
+                "--max-tree-size", str(512 * 41), "--rollouts-per-iter",
+                "512", "--num-iterations", "40", "--rollout-backend", "jnp",
+                "--goal-jitter", "0.5")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"solve_rate"' in r.stdout
+
+
+@pytest.mark.slow
 def test_cli_sweep():
     r = run_cli("sweep", "--scenarios", "8", "--obstacles", "5",
                 "--max-tree-size", "4096", "--rollouts-per-iter", "512",

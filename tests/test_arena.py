@@ -152,3 +152,24 @@ def test_arena_start_in_goal_region():
                                                  seed=0)
     assert res.solved.all()
     assert (res.iterations == 1).all()
+
+
+@pytest.mark.slow
+def test_arena_anytime_mode():
+    """stop_on_first_solution=False: the arena keeps searching after the
+    first solution and only ever improves the incumbent (the reference
+    breaks at the first hit, KGMT.cu:251-254; anytime mode is the beyond-
+    reference flag shared with the single planner)."""
+    cfg = ARENA_CONFIG.replace(stop_on_first_solution=False)
+    inits, goals, obstacles = _demo_batch(3, vary_goals=True, seed=4)
+    first = ArenaMultiQueryPlanner(ARENA_CONFIG).plan_batch(
+        inits, goals, obstacles, seed=6)
+    anytime = ArenaMultiQueryPlanner(cfg).plan_batch(
+        inits, goals, obstacles, seed=6)
+    assert anytime.solved.sum() >= first.solved.sum()
+    both = first.solved & anytime.solved
+    # identical RNG stream => the anytime run sees the same first solution,
+    # then can only improve on it
+    assert (anytime.costs[both] <= first.costs[both] + 1e-5).all()
+    # anytime must run the full window budget
+    assert (anytime.iterations >= first.iterations).all()

@@ -220,15 +220,18 @@ def main(argv: list[str] | None = None) -> int:
                          "problem")
     p_multi.add_argument("--impl", choices=["vmap", "arena"], default="vmap",
                          help="'vmap' = per-problem while_loops (adaptive "
-                         "waves, goal bias supported); 'arena' = the "
-                         "scatter-free batched arena (fixed wave width, "
-                         "~10x faster at large B; parallel/batch_kgmt.py)")
+                         "waves supported); 'arena' = the scatter-free "
+                         "batched arena (fixed wave width, ~10x faster at "
+                         "large B; parallel/batch_kgmt.py)")
 
     p_sweep = sub.add_parser("sweep", help="Monte-Carlo sweep over random "
                              "obstacle scenarios, data-parallel over devices")
     _add_config_args(p_sweep)
     p_sweep.add_argument("--scenarios", type=int, default=64)
     p_sweep.add_argument("--obstacles", type=int, default=8)
+    p_sweep.add_argument("--impl", choices=["vmap", "arena"], default="vmap",
+                         help="'arena' = the scatter-free batched planner "
+                         "(fixed wave width; ~10x at large sweeps)")
 
     p_sharded = sub.add_parser(
         "sharded", help="ONE logical tree sharded over the mesh 'tree' axis "
@@ -325,7 +328,7 @@ def main(argv: list[str] | None = None) -> int:
         from cudasbmp_tpu.parallel import MonteCarloPlanner, make_planner_mesh
 
         cfg = _config_from_args(args)
-        mc = MonteCarloPlanner(cfg, mesh=make_planner_mesh())
+        mc = MonteCarloPlanner(cfg, mesh=make_planner_mesh(), impl=args.impl)
         s = mc.run(num_scenarios=args.scenarios, seed=cfg.seed,
                    num_obstacles=args.obstacles)
         print(json.dumps({

@@ -237,6 +237,25 @@ def arena_iteration(cfg: KGMTConfig, system, grid: RegionGrid,
     with jax.named_scope("arena_parents"):
         j = (jnp.arange(R, dtype=jnp.int32)[None, :]
              % jnp.maximum(s.n_parents, 1)[:, None])  # [B, R]
+        if cfg.goal_bias > 0.0:
+            # top-k goal-nearest parents for the first n_biased slots — the
+            # arena analog of kgmt.expansion_wave's goal bias, but over the
+            # compacted carry (no tree gather). Assembled by concatenation,
+            # keeping the iteration scatter-free.
+            with jax.named_scope("arena_goal_bias_topk"):
+                valid_p = (jnp.arange(R, dtype=jnp.int32)[None, :]
+                           < s.n_parents[:, None])
+                d2 = ((s.p_x0[..., 0] - goals[:, None, 0]) ** 2
+                      + (s.p_x0[..., 1] - goals[:, None, 1]) ** 2)
+                d2 = jnp.where(valid_p, d2, jnp.inf)
+                k = min(cfg.goal_bias_k, R)
+                neg_best, near = jax.lax.top_k(-d2, k)  # [B, k]
+                n_biased = int(round(cfg.goal_bias * R))
+                idx = jnp.arange(n_biased, dtype=jnp.int32) % k
+                ok = jnp.isfinite(-neg_best)[:, idx]
+                biased = jnp.where(ok, near[:, idx].astype(jnp.int32),
+                                   j[:, :n_biased])
+                j = jnp.concatenate([biased, j[:, n_biased:]], axis=1)
         x0 = jnp.take_along_axis(s.p_x0, j[:, :, None], axis=1)
         pcost = jnp.take_along_axis(s.p_cost, j, axis=1)
         pgid = jnp.take_along_axis(s.p_gid, j, axis=1)
@@ -390,10 +409,6 @@ class ArenaMultiQueryPlanner:
     def __init__(self, config: KGMTConfig | None = None,
                  mesh: Mesh | None = None, system=None):
         cfg = self.config = config or KGMTConfig()
-        if cfg.goal_bias > 0:
-            raise ValueError(
-                "the arena planner does not implement goal_bias; use "
-                "MultiQueryPlanner(impl='vmap')")
         self.mesh = mesh
         self.system = system or get_system(cfg.system)
         grid = RegionGrid(width=cfg.width, height=cfg.height, N=cfg.N,

@@ -124,9 +124,21 @@ def test_arena_per_problem_obstacles():
             < ARENA_CONFIG.goal_threshold
 
 
-def test_arena_rejects_goal_bias():
-    with pytest.raises(ValueError, match="goal_bias"):
-        ArenaMultiQueryPlanner(ARENA_CONFIG.replace(goal_bias=0.3))
+@pytest.mark.slow
+def test_arena_goal_bias():
+    """goal_bias > 0: part of each wave expands the top-k goal-nearest
+    carry entries; the demo still solves and the runs stay deterministic."""
+    cfg = ARENA_CONFIG.replace(goal_bias=0.25, goal_bias_k=8)
+    inits, goals, obstacles = _demo_batch(4)
+    p = ArenaMultiQueryPlanner(cfg)
+    r1 = p.plan_batch(inits, goals, obstacles, seed=5)
+    assert r1.solved.all(), r1.costs
+    r2 = p.plan_batch(inits, goals, obstacles, seed=5)
+    np.testing.assert_array_equal(r1.costs, r2.costs)
+    # biased runs reach the goal in no more iterations (same RNG stream)
+    base = ArenaMultiQueryPlanner(ARENA_CONFIG).plan_batch(
+        inits, goals, obstacles, seed=5)
+    assert r1.iterations.mean() <= base.iterations.mean() + 2
 
 
 def test_arena_zero_iteration_budget():
@@ -173,3 +185,17 @@ def test_arena_anytime_mode():
     assert (anytime.costs[both] <= first.costs[both] + 1e-5).all()
     # anytime must run the full window budget
     assert (anytime.iterations >= first.iterations).all()
+
+
+@pytest.mark.slow
+def test_arena_monte_carlo_sweep():
+    """MonteCarloPlanner(impl='arena'): random per-scenario obstacle sets
+    ride the arena's vmapped kernel path; sweep solves a healthy fraction."""
+    from cudasbmp_tpu.parallel.monte_carlo import MonteCarloPlanner
+
+    cfg = ARENA_CONFIG.replace(num_iterations=30, max_tree_size=512 * 31)
+    mc = MonteCarloPlanner(cfg, mesh=make_planner_mesh(), impl="arena")
+    s = mc.run(num_scenarios=8, seed=3, num_obstacles=5)
+    assert s.num_scenarios == 8
+    assert s.solve_rate >= 0.5, s.costs
+    assert np.isfinite(s.costs[s.solved]).all()

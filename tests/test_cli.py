@@ -139,6 +139,16 @@ def test_cli_sweep():
 
 
 @pytest.mark.slow
+def test_cli_sweep_arena():
+    r = run_cli("sweep", "--impl", "arena", "--scenarios", "8",
+                "--obstacles", "5", "--max-tree-size", "15872",
+                "--rollouts-per-iter", "512", "--num-iterations", "30",
+                "--rollout-backend", "jnp")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"solves_per_sec"' in r.stdout
+
+
+@pytest.mark.slow
 def test_cli_sharded_with_checkpointing(tmp_path):
     r = run_cli("sharded", "--num-iterations", "60", "--max-tree-size",
                 "2048", "--rollouts-per-iter", "512", "--no-adaptive-waves",

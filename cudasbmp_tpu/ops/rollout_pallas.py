@@ -157,9 +157,11 @@ def _integrate_culled(system, comps, ctrl, dur, obs, num_disc: int,
     obstacle is provably separated from every lane's every swept AABB, so
     skipping is EXACT — bit-identical (x1, valid) to ``_integrate``
     (asserted in tests/test_pallas.py). Effectiveness depends on tile
-    locality: the planner sorts each wave by R1 cell so a program's lanes
-    share a neighborhood; random unsorted batches cull ~nothing and pay a
-    small fixed overhead (measured in perf.md r3).
+    locality: callers must feed spatially GROUPED lanes (e.g. Z-order
+    sorted by R1 cell, as the dense-probe bench does) for programs to see
+    tight neighborhoods; random unsorted batches cull ~nothing and pay a
+    small fixed overhead, which is why cull stays opt-in and the planner's
+    round-robin (unsorted) waves keep the one-pass body (perf.md r3).
 
     First-failure ("break") semantics are reconstructed: one-pass freezing
     yields the candidate position of the first failing step, which equals

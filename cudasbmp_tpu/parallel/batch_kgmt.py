@@ -431,14 +431,33 @@ class ArenaMultiQueryPlanner:
             tree_sizes = final.tree_valid.sum(axis=-1, dtype=jnp.int32)
             return (final.cost_to_goal, tree_sizes, iters, samples, lengths)
 
+        if self.n_windows < cfg.num_iterations:
+            import warnings
+
+            warnings.warn(
+                f"arena window layout bounds iterations at max_tree_size/R-1:"
+                f" max_tree_size={cfg.max_tree_size} with rollouts_per_iter="
+                f"{R} gives {self.n_windows} windows < num_iterations="
+                f"{cfg.num_iterations}; raise max_tree_size or lower "
+                f"rollouts_per_iter to get the full budget", stacklevel=2)
         if mesh is not None:
             shard = NamedSharding(mesh, P("scenario"))
             rep = NamedSharding(mesh, P())
-            self._solve = jax.jit(
+            # shared [K, 4] obstacle sets are logically replicated — sharding
+            # their leading axis over 'scenario' would split the K rows across
+            # devices (and fail outright when K % n_devices != 0); only
+            # per-problem [B, K, 4] sets ride the batch sharding
+            self._solve_shared_obs = jax.jit(
+                _solve,
+                in_shardings=(shard, shard, rep, rep),
+                out_shardings=(shard,) * 5,
+            )
+            self._solve_per_obs = jax.jit(
                 _solve,
                 in_shardings=(shard, shard, shard, rep),
                 out_shardings=(shard,) * 5,
             )
+            self._solve = None
         else:
             self._solve = jax.jit(_solve)
 
@@ -455,10 +474,15 @@ class ArenaMultiQueryPlanner:
                     f"batch size {B} must be divisible by the scenario-axis "
                     f"size {n_shard}")
         key = jax.random.key(seed)
+        obstacles = np.asarray(obstacles)
+        solve = self._solve
+        if solve is None:  # mesh mode: pick shardings by obstacle layout
+            solve = (self._solve_shared_obs if obstacles.ndim == 2
+                     else self._solve_per_obs)
         t0 = time.perf_counter()
         outs = jax.block_until_ready(
-            self._solve(jnp.asarray(inits), jnp.asarray(goals),
-                        jnp.asarray(obstacles), key))
+            solve(jnp.asarray(inits), jnp.asarray(goals),
+                  jnp.asarray(obstacles), key))
         if not outs[0].is_fully_addressable:
             rep = NamedSharding(self.mesh, P())
             outs = jax.jit(lambda *xs: xs,

@@ -89,8 +89,8 @@ class MonteCarloPlanner:
 
     impl='arena' swaps in the scatter-free batched arena
     (parallel/batch_kgmt.py, ~10x throughput at large sweeps; fixed wave
-    width, no goal_bias) — per-scenario obstacle sets take its vmapped
-    kernel path."""
+    width; honors cfg.goal_bias via top-k over the compacted frontier) —
+    per-scenario obstacle sets take its vmapped kernel path."""
 
     def __init__(self, config: KGMTConfig | None = None,
                  mesh: Mesh | None = None, impl: str = "vmap"):

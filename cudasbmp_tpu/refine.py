@@ -178,8 +178,9 @@ def _revalidate_jit(system, cfg: KGMTConfig, x0s, goal_xys, obstacles,
     edge's start state is the previous edge's end state), rollout_batch
     vmapped over problems inside each step — replaces the former per-edge
     host loop of device calls (VERDICT r2 weak #7). Edges beyond a path's
-    mask pass through without moving the state. Returns (end_states [B, S],
-    all_valid [B], in_goal [B])."""
+    mask pass through without moving the state. Returns (per_edge_states
+    [B, L, S] — the exact checker's states, frozen at the first failing step
+    like the reference's in-rollout break — all_valid [B], in_goal [B])."""
 
     def edge(carry, inp):
         states, ok = carry  # [B, S], [B]
@@ -194,15 +195,15 @@ def _revalidate_jit(system, cfg: KGMTConfig, x0s, goal_xys, obstacles,
         x1, valid = jax.vmap(one)(states, ctrl, obstacles)
         states = jnp.where(m[:, None], x1, states)
         ok = ok & (valid | ~m)
-        return (states, ok), None
+        return (states, ok), states
 
     B = x0s.shape[0]
     init = (x0s, jnp.ones(B, bool))
-    (end, ok), _ = jax.lax.scan(
+    (end, ok), per_edge = jax.lax.scan(
         edge, init, (jnp.swapaxes(controls, 0, 1), jnp.swapaxes(masks, 0, 1))
     )
     d = jnp.linalg.norm(end[:, :2] - goal_xys, axis=-1)
-    return end, ok, d < cfg.goal_threshold
+    return jnp.swapaxes(per_edge, 0, 1), ok, d < cfg.goal_threshold
 
 
 def refine_path(system, cfg: KGMTConfig, path: np.ndarray, goal: np.ndarray,
@@ -227,11 +228,13 @@ def refine_path(system, cfg: KGMTConfig, path: np.ndarray, goal: np.ndarray,
 
     # hard re-validation: replay the refined edge chain with the exact
     # checker in ONE device dispatch (scan over edges; formerly a host loop
-    # of L separate device calls)
-    _, ok, in_goal = _revalidate_jit(
+    # of L separate device calls). The scan's per-edge end states double as
+    # the returned node states — frozen at the first failing step when
+    # valid=False, exactly like the reference's in-rollout break
+    edge_states, ok, in_goal = _revalidate_jit(
         system, cfg, x0[None], goal_xy[None], obstacles_j[None],
         refined[None], mask[None])
-    states = _replay_states(system, cfg, x0, refined)
+    states = jnp.concatenate([x0[None], edge_states[0]], axis=0)
     return {
         "controls": np.asarray(refined),
         "states": np.asarray(states),
@@ -240,24 +243,6 @@ def refine_path(system, cfg: KGMTConfig, path: np.ndarray, goal: np.ndarray,
         "valid": bool(ok[0] and in_goal[0]),
         "losses": np.asarray(losses),
     }
-
-
-@partial(jax.jit, static_argnames=("system", "cfg"))
-def _replay_states(system, cfg: KGMTConfig, x0, controls):
-    """Node states along an edge chain: scan of exact edge integrations."""
-
-    def edge(state, c):
-        a_steer, dur = c[:-1], c[-1]
-        dt = dur / cfg.num_disc
-
-        def step(s, _):
-            return system.step(s, a_steer, dt), None
-
-        s1, _ = jax.lax.scan(step, state, None, length=cfg.num_disc)
-        return s1, s1
-
-    _, sts = jax.lax.scan(edge, x0, controls)
-    return jnp.concatenate([x0[None], sts], axis=0)
 
 
 def refine_batch(system, cfg: KGMTConfig, paths: np.ndarray,

@@ -134,15 +134,18 @@ def plot_tree(result=None, artifacts_dir: str | os.PathLike | None = None,
     # in ONE vmapped device call + one LineCollection (max_edges=None draws
     # the full tree; the former per-edge host loop needed a 2000-edge cap)
     children = np.arange(1, tree_size)
-    children = children[parents[1:tree_size] >= 0]
+    # sharded trees store GLOBAL (shard*M + slot) parent ids; a single
+    # shard's dump can only resolve local parents, so foreign-parent edges
+    # are dropped (aliasing them into the local id range would draw edges
+    # from unrelated nodes)
+    ok = (parents[1:tree_size] >= 0) & (parents[1:tree_size] < len(samples))
+    children = children[ok]
     if max_edges is not None and len(children) > max_edges:
         children = children[:max_edges]
     if len(children) > 0:
         from matplotlib.collections import LineCollection
 
-        # local parent ids; sharded trees store global (shard*M + slot) ids —
-        # viz of a single shard's dump keeps only locally-resolvable edges
-        par = parents[children] % len(samples)
+        par = parents[children]
         sts = _integrate_edges(system, samples[par],
                                samples[children, 4:7], cfg.num_disc)
         ax.add_collection(LineCollection(

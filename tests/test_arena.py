@@ -98,6 +98,22 @@ def test_arena_sharded_matches_unsharded():
     np.testing.assert_array_equal(r_mesh.tree_sizes, r_plain.tree_sizes)
 
 
+def test_arena_mesh_shared_obstacles_any_row_count():
+    """Regression: a shared [K, 4] obstacle set is logically replicated, so
+    the mesh path must not shard its K rows over the scenario axis — that
+    crashed whenever K was not divisible by the device count (e.g. K=5 on 8
+    devices) and mis-distributed a replicated constant even when it was."""
+    B = 8
+    inits, goals, obstacles = _demo_batch(B)
+    odd = obstacles[:5]  # 5 rows: not divisible by the 8-device mesh
+    cfg = ARENA_CONFIG.replace(num_iterations=12, max_tree_size=512 * 13)
+    r_mesh = ArenaMultiQueryPlanner(cfg, mesh=make_planner_mesh()).plan_batch(
+        inits, goals, odd, seed=5)
+    r_plain = ArenaMultiQueryPlanner(cfg).plan_batch(
+        inits, goals, odd, seed=5)
+    np.testing.assert_allclose(r_mesh.costs, r_plain.costs, rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_arena_per_problem_obstacles():
     """[B, K, 4] obstacle batches take the vmapped kernel path and must

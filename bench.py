@@ -432,8 +432,13 @@ def main() -> None:
     # TTS bench could miss regressions on dense / fine-grid workloads)
     tts_dense = (maybe(measure_time_to_solution, "pallas_rng",
                        scenario="dense24") if on_tpu else None)
+    # fine grid quadruples the R2 subcell count, so virgin-cell acceptance
+    # admits ~4x more children per wave — at the demo's 30k capacity the tree
+    # fills (reference semantics: tree-full -> stop, KGMT.cu:251-259) ~13
+    # iterations before the goal; capacity must scale with the grid
     tts_fine = (maybe(measure_time_to_solution, "pallas_rng",
-                      scenario="dense24", N=32, n=8) if on_tpu else None)
+                      scenario="dense24", N=32, n=8, max_tree_size=131072)
+                if on_tpu else None)
     dev_tts = maybe(measure_device_tts) if on_tpu else None
     # randomized-scenario Monte-Carlo sweep (config 5 per-chip): compile is
     # ~4 min over the relay, so this runs live only with budget to spare and

@@ -22,8 +22,15 @@ The arena removes the divergence by construction:
   2.05 ms vs the 22.7 ms scatter), and the per-rollout score/virgin-cell
   lookups ride the same one-hots (1.44 ms vs 3.9-4.7 ms gathers).
 - The frontier is carried COMPACTED in registers ([B, R] parent rows,
-  costs, ids), refreshed each iteration from the wave's accepted children
-  by a stable argsort over the accept mask — no tree gather at all.
+  costs, ids), refreshed each iteration from the wave's accepted children —
+  no tree gather at all. For R <= _PERMUTE_MATMUL_MAX_R both the refresh
+  compaction and the round-robin parent pick are ONE-HOT PERMUTATION
+  MATMULS on the MXU (cumsum -> destination slot -> one-hot -> einsum),
+  bitwise identical to the stable-argsort + take_along_axis fallback used
+  at larger R: the r3 ablation probe (tools/r3_probe3.py) measured the
+  gather-based refresh at 0.84 ms/iter of a 1.07 ms iteration on v5e —
+  TPU lowers data-dependent gathers near-serially, while the equivalent
+  [B, R, R] contraction is tens of microseconds of MXU work.
 
 Search-semantics relation to the flagship (planners/kgmt.py): the arena is
 the fixed-wave-width mode (``adaptive_waves=False`` equivalent): every
@@ -56,6 +63,32 @@ from cudasbmp_tpu.parallel.multi_query import MultiQueryResult, stack_scenarios
 from cudasbmp_tpu.systems.registry import get_system
 
 Array = jax.Array
+
+# Row-permutation strategy for the per-iteration parent gather + frontier
+# compaction. TPU lowers data-dependent gathers/scatters to near-serial
+# loops: the ablation probe (tools/r3_probe3.py, v5e) measured the argsort +
+# take_along_axis frontier refresh at 0.84 ms/iter of the 1.07 ms total at
+# [B=256, R=128] — 78% of the arena iteration, with the rollout kernel and
+# the window commits ~free. For R <= _PERMUTE_MATMUL_MAX_R both permutations
+# are done instead as one-hot matmuls on the MXU (B*R^2*(S+2) MACs — tens of
+# microseconds), which is BITWISE identical: a permutation one-hot selects
+# exactly one f32 term per output (sum of zeros + x = x exactly), and index
+# columns stay below 2^24 so their f32 round trip is exact. Above the
+# threshold the one-hot HBM traffic (2*B*R^2*4 bytes) overtakes the gather
+# cost and the argsort path is kept.
+_PERMUTE_MATMUL_MAX_R = 256
+
+
+def _permute_rows(perm: Array, cols: Array) -> Array:
+    """Apply a row permutation as an MXU contraction: out[b, r] =
+    cols[b, perm[b, r]]. perm [B, R] int32 with each row a permutation (or
+    any index map) into [0, R); cols [B, R, D] f32. Exact for f32 payloads
+    and for integer payloads < 2^24 carried as f32."""
+    R = cols.shape[1]
+    onehot = (perm[:, :, None]
+              == jnp.arange(R, dtype=jnp.int32)[None, None, :])
+    return jnp.einsum("bri,bid->brd", onehot.astype(jnp.float32), cols,
+                      preferred_element_type=jnp.float32)
 
 
 class ArenaState(NamedTuple):
@@ -231,6 +264,10 @@ def arena_iteration(cfg: KGMTConfig, system, grid: RegionGrid,
     trees anywhere in this body."""
     B = s.done.shape[0]
     nr1, n2 = cfg.num_r1, cfg.n * cfg.n
+    M = s.tree_parent.shape[1]
+    S = s.p_x0.shape[-1]
+    # MXU permutations need tree-slot ids to survive an f32 round trip
+    use_matmul_perm = R <= _PERMUTE_MATMUL_MAX_R and M < (1 << 24)
     r1_score = _scores(cfg, s)
 
     # --- parent assignment: round-robin over the compacted frontier carry --
@@ -256,9 +293,18 @@ def arena_iteration(cfg: KGMTConfig, system, grid: RegionGrid,
                 biased = jnp.where(ok, near[:, idx].astype(jnp.int32),
                                    j[:, :n_biased])
                 j = jnp.concatenate([biased, j[:, n_biased:]], axis=1)
-        x0 = jnp.take_along_axis(s.p_x0, j[:, :, None], axis=1)
-        pcost = jnp.take_along_axis(s.p_cost, j, axis=1)
-        pgid = jnp.take_along_axis(s.p_gid, j, axis=1)
+        if use_matmul_perm:
+            cols = jnp.concatenate(
+                [s.p_x0, s.p_cost[:, :, None],
+                 s.p_gid.astype(jnp.float32)[:, :, None]], axis=-1)
+            picked = _permute_rows(j, cols)
+            x0 = picked[..., :S]
+            pcost = picked[..., S]
+            pgid = picked[..., S + 1].astype(jnp.int32)
+        else:
+            x0 = jnp.take_along_axis(s.p_x0, j[:, :, None], axis=1)
+            pcost = jnp.take_along_axis(s.p_cost, j, axis=1)
+            pgid = jnp.take_along_axis(s.p_gid, j, axis=1)
 
     # --- expansion (fused rollout kernel over B*R lanes) -------------------
     with jax.named_scope("arena_expand"):
@@ -335,10 +381,34 @@ def arena_iteration(cfg: KGMTConfig, system, grid: RegionGrid,
     # --- frontier refresh: accepted children, compacted by stable argsort --
     with jax.named_scope("arena_frontier"):
         n_acc = accept.sum(axis=-1, dtype=jnp.int32)
-        order = jnp.argsort(jnp.where(accept, 0, 1), axis=-1,
-                            stable=True).astype(jnp.int32)
-        new_x0 = jnp.take_along_axis(x1, order[:, :, None], axis=1)
-        new_cost = jnp.take_along_axis(child_cost, order, axis=1)
+        if use_matmul_perm:
+            # destination slot per wave element: accepted keep arrival order
+            # at the front, rejected pile behind — the exact permutation
+            # stable argsort(~accept) produces, built from two cumsums and
+            # applied as a one-hot MXU contraction over the SOURCE axis
+            # (out[b, r] = sum_i onehot[b, i, r] * cols[b, i]); the original
+            # index rides along as an f32 column (< R < 2^24, exact)
+            dst = jnp.where(
+                accept,
+                jnp.cumsum(accept, axis=-1, dtype=jnp.int32) - 1,
+                n_acc[:, None]
+                + jnp.cumsum(~accept, axis=-1, dtype=jnp.int32) - 1)
+            onehot = (dst[:, :, None]
+                      == jnp.arange(R, dtype=jnp.int32)[None, None, :])
+            iota = jnp.broadcast_to(
+                jnp.arange(R, dtype=jnp.float32)[None, :, None], (B, R, 1))
+            cols = jnp.concatenate(
+                [x1, child_cost[:, :, None], iota], axis=-1)
+            out = jnp.einsum("bir,bid->brd", onehot.astype(jnp.float32),
+                             cols, preferred_element_type=jnp.float32)
+            new_x0 = out[..., :S]
+            new_cost = out[..., S]
+            order = out[..., S + 1].astype(jnp.int32)
+        else:
+            order = jnp.argsort(jnp.where(accept, 0, 1), axis=-1,
+                                stable=True).astype(jnp.int32)
+            new_x0 = jnp.take_along_axis(x1, order[:, :, None], axis=1)
+            new_cost = jnp.take_along_axis(child_cost, order, axis=1)
         new_gid = win_base + order
         # stall -> retry the same frontier with fresh randomness
         # (keep_frontier_on_stall, planners/kgmt.py); done problems also

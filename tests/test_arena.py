@@ -215,3 +215,49 @@ def test_arena_monte_carlo_sweep():
     assert s.num_scenarios == 8
     assert s.solve_rate >= 0.5, s.costs
     assert np.isfinite(s.costs[s.solved]).all()
+
+
+def test_arena_permutation_paths_bitwise_equal(monkeypatch):
+    """The MXU one-hot permutation path (R <= _PERMUTE_MATMUL_MAX_R) must be
+    BITWISE identical to the argsort + take_along_axis path it replaces: a
+    permutation one-hot selects exactly one f32 term per output and index
+    columns stay below 2^24, so no float rounding can differ (perf.md r3,
+    tools/r3_probe3.py: the gather path was 78% of the arena iteration)."""
+    import cudasbmp_tpu.parallel.batch_kgmt as bk
+
+    cfg = KGMTConfig(rollouts_per_iter=128, max_tree_size=128 * 101,
+                     num_iterations=100, rollout_backend="jnp")
+    B = 4
+    inits, goals, obstacles = _demo_batch(B, vary_goals=True)
+    assert cfg.rollouts_per_iter <= bk._PERMUTE_MATMUL_MAX_R
+    res_mxu = ArenaMultiQueryPlanner(cfg).plan_batch(
+        inits, goals, obstacles, seed=5)
+    monkeypatch.setattr(bk, "_PERMUTE_MATMUL_MAX_R", 0)
+    res_gather = ArenaMultiQueryPlanner(cfg).plan_batch(
+        inits, goals, obstacles, seed=5)
+    assert res_mxu.solved.any()  # non-degenerate comparison
+    np.testing.assert_array_equal(res_mxu.solved, res_gather.solved)
+    np.testing.assert_array_equal(res_mxu.costs, res_gather.costs)
+    np.testing.assert_array_equal(res_mxu.iterations, res_gather.iterations)
+    np.testing.assert_array_equal(res_mxu.paths, res_gather.paths)
+    np.testing.assert_array_equal(res_mxu.tree_sizes, res_gather.tree_sizes)
+
+
+def test_arena_permutation_parity_with_goal_bias(monkeypatch):
+    """Same bitwise parity through the goal-bias top-k parent assignment
+    (j is an arbitrary index map there, not just round-robin)."""
+    import cudasbmp_tpu.parallel.batch_kgmt as bk
+
+    cfg = KGMTConfig(rollouts_per_iter=128, max_tree_size=128 * 101,
+                     num_iterations=100, rollout_backend="jnp",
+                     goal_bias=0.25, goal_bias_k=8)
+    B = 2
+    inits, goals, obstacles = _demo_batch(B)
+    res_mxu = ArenaMultiQueryPlanner(cfg).plan_batch(
+        inits, goals, obstacles, seed=7)
+    monkeypatch.setattr(bk, "_PERMUTE_MATMUL_MAX_R", 0)
+    res_gather = ArenaMultiQueryPlanner(cfg).plan_batch(
+        inits, goals, obstacles, seed=7)
+    np.testing.assert_array_equal(res_mxu.solved, res_gather.solved)
+    np.testing.assert_array_equal(res_mxu.costs, res_gather.costs)
+    np.testing.assert_array_equal(res_mxu.paths, res_gather.paths)

@@ -226,12 +226,21 @@ def main():
     # unreachable goal: outside the workspace, so done never trips
     goals = jnp.full((B, 7), -100.0, jnp.float32)
 
-    variants = ["full", "no_stats", "gather_lookup", "no_frontier",
-                "cumsum_frontier", "no_commit", "no_rollout"]
+    # "library" = the shipped parallel.batch_kgmt.arena_iteration (which
+    # uses the MXU one-hot permutations for R <= _PERMUTE_MATMUL_MAX_R);
+    # "full" = this probe's frozen copy of the original gather-based body
+    variants = ["library", "full", "no_stats", "gather_lookup",
+                "no_frontier", "cumsum_frontier", "no_commit", "no_rollout"]
 
     for variant in variants:
-        body = partial(iteration, cfg, system, grid, obstacles, goals, R,
-                       variant)
+        if variant == "library":
+            from cudasbmp_tpu.parallel.batch_kgmt import arena_iteration
+
+            body = partial(arena_iteration, cfg, system, grid, obstacles,
+                           goals, R)
+        else:
+            body = partial(iteration, cfg, system, grid, obstacles, goals, R,
+                           variant)
 
         @jax.jit
         def run(key, n):  # n is a traced scalar: ONE compile per variant

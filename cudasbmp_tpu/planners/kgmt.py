@@ -19,8 +19,9 @@ Mapping (reference mechanism -> this file):
   (KGMT.cu:151-219, 341-482)                           -> one dense rollout
   batch of ``rollouts_per_iter`` slots, round-robin parent assignment,
   slots beyond min(fanout*frontier, capacity) masked
-- atomicAdd/atomicExch region stats (KGMT.cu:392-410)  -> one packed
-  two-column scatter-add per grid level (ops.segments.masked_multi_bincount)
+- atomicAdd/atomicExch region stats (KGMT.cu:392-410)  -> ONE one-hot MXU
+  contraction for both grid levels (exact integer counts in f32; replaced
+  the packed scatter-adds — 9x cheaper, tools/r3_probe4.py)
 - curand per-slot states seeded time(NULL)
   (KGMT.cu:109-111)                                    -> fold_in(key, itr)
 - updateR1 score kernel (KGMT.cu:487-538)              -> vectorized formula
@@ -43,7 +44,6 @@ import numpy as np
 from cudasbmp_tpu.config import KGMTConfig, SAMPLE_DIM, Scenario
 from cudasbmp_tpu.geometry.grid import RegionGrid
 from cudasbmp_tpu.ops.rollout import rollout_batch
-from cudasbmp_tpu.ops.segments import masked_multi_bincount
 from cudasbmp_tpu.planners.base import Planner
 from cudasbmp_tpu.systems.registry import get_system
 from cudasbmp_tpu.utils.vma import pvary_like, pvary_to
@@ -490,38 +490,68 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
                 frontier_lo=frontier_lo0, frontier_size=frontier_size,
                 n_target=n_target, pool=pool, gid_base=gid_base)
 
-        # --- region statistics (atomics -> segment sums) ------------------
+        # --- region statistics (atomics -> one-hot MXU contraction) -------
         with jax.named_scope("kgmt_region_stats"):
             r1, r2 = grid.region_indices(x1[:, 0:2])
-            # One 2-column scatter per grid level replaces the reference's
-            # six atomicAdd streams + two atomicExch flag flips
-            # (KGMT.cu:392-410): invalid = touched - valid, and a cell
-            # becomes available exactly when its valid count first exceeds
-            # zero (KGMT.cu:401-406).
-            vals = jnp.stack(
-                [slot_active.astype(jnp.int32), valid.astype(jnp.int32)],
-                axis=-1,
-            )
-            d1 = masked_multi_bincount(r1, vals, cfg.num_r1)
-            d2 = masked_multi_bincount(r2, vals, cfg.num_r2)
+            # The reference's six atomicAdd streams + two atomicExch flips
+            # (KGMT.cu:392-410) first became one packed 2-column scatter per
+            # grid level (ops.segments.masked_multi_bincount); the r3 op
+            # probe (tools/r3_probe4.py, v5e) then measured that scatter
+            # pair at 81 us/iteration vs 9 us for the equivalent one-hot
+            # einsum — TPU serializes data-dependent scatters — so both
+            # levels are now ONE [R, NR1] x [R, 2*n^2+2] contraction, using
+            # r2 = r1*n^2 + loc (grid.r2_index). Counts stay exact: each is
+            # a sum of {0,1} terms <= R < 2^24 in f32, cast back to int32.
+            # invalid = touched - valid, and a cell becomes available
+            # exactly when its valid count first exceeds zero
+            # (KGMT.cu:401-406).
+            n2 = cfg.n * cfg.n
+            in_r1 = r1 >= 0
+            in_r2 = r2 >= 0
+            loc = jnp.where(in_r2, r2 - r1 * n2, 0)
+            oh1 = (jax.nn.one_hot(jnp.maximum(r1, 0), cfg.num_r1,
+                                  dtype=jnp.float32)
+                   * in_r1[:, None].astype(jnp.float32))  # [R, NR1]
+            ohl = (jax.nn.one_hot(loc, n2, dtype=jnp.float32)
+                   * in_r2[:, None].astype(jnp.float32))  # [R, n^2]
+            act_f = slot_active.astype(jnp.float32)
+            val_f = valid.astype(jnp.float32)
+            rhs = jnp.concatenate(
+                [ohl * act_f[:, None], ohl * val_f[:, None],
+                 act_f[:, None], val_f[:, None]], axis=-1)
+            dmat = jnp.einsum("rc,rl->cl", oh1, rhs,
+                              preferred_element_type=jnp.float32)
+            d1 = jnp.stack(
+                [dmat[:, 2 * n2], dmat[:, 2 * n2 + 1]], axis=-1
+            ).astype(jnp.int32)
+            d2 = jnp.stack(
+                [dmat[:, :n2].ravel(), dmat[:, n2:2 * n2].ravel()], axis=-1
+            ).astype(jnp.int32)
 
         # --- acceptance (KGMT.cu:394-400): Bernoulli(score of child's R1
         #     cell) OR the child's R2 subcell was never reached before -------
         with jax.named_scope("kgmt_accept"):
             u = jax.random.uniform(k_accept, (R,))
-            r1_safe = jnp.maximum(r1, 0)
-            r2_safe = jnp.maximum(r2, 0)
+            # Score/seen lookups ride the SAME one-hots as the stats pass
+            # (12x cheaper than the direct [R]-from-table gathers they
+            # replace, tools/r3_probe4.py), and stay bitwise exact: a
+            # one-hot matmul selects one f32 term, the rest are exact +0.0.
             # Valid children OUTSIDE the region grid (possible when height >
             # width: both axes use width-derived cells, KGMT.cu:13-14) are
             # always accepted via the virgin term below — r1 < 0 implies
-            # r2 < 0 (grid.py r2_index) — instead of borrowing cell 0's
-            # stats. The reference would index its arrays at -1 here (UB,
-            # SURVEY.md §2.4.7). r2_seen is the iteration-start snapshot
-            # (global in sharded mode) plus earlier sub-waves' arrivals — a
+            # r2 < 0 (grid.py r2_index), and their one-hot rows are all
+            # zero, so score_r = 0 never wins the Bernoulli draw. The
+            # reference would index its arrays at -1 here (UB, SURVEY.md
+            # §2.4.7). r2_seen is the iteration-start snapshot (global in
+            # sharded mode) plus earlier sub-waves' arrivals — a
             # deterministic stand-in for the reference's racy read of
             # concurrently-updated flags.
-            virgin_r2 = (r2 < 0) | (r2_seen[r2_safe] == 0)
-            accept = valid & ((u <= r1_score[r1_safe]) | virgin_r2)
+            score_r = oh1 @ r1_score  # [R]; 0.0 where r1 < 0
+            seen_rows = oh1 @ r2_seen.reshape(cfg.num_r1, n2).astype(
+                jnp.float32)
+            seen_r = (seen_rows * ohl).sum(axis=-1)
+            virgin_r2 = (r2 < 0) | (seen_r == 0)
+            accept = valid & ((u <= score_r) | virgin_r2)
         r2_seen = r2_seen | (d2[:, 1] > 0).astype(jnp.int32)
 
         # --- commit (updateG, KGMT.cu:540-593), correct capacity clamp ----

@@ -184,6 +184,18 @@ class KGMTConfig:
     def num_r2(self) -> int:
         return self.N * self.N * self.n * self.n
 
+    @staticmethod
+    def derived_tree_capacity(N: int, n: int) -> int:
+        """Tree capacity scaled to the guidance grid, for workloads that
+        refine N/n beyond the reference demo: acceptance is
+        ``rand <= score OR virgin-R2-subcell`` (KGMT.cu:394-400), so the
+        early-phase accepted volume scales with the number of R2 subcells —
+        quadrupling the grid at the reference's fixed 30k capacity fills the
+        tree ~13 iterations before the demo goal is reachable (measured,
+        docs/perf.md r3 fine-grid section). Rule: 2x the subcell count,
+        floored at the reference's 30k (demos/main.cu:24)."""
+        return max(30000, 2 * N * N * n * n)
+
     def replace(self, **kw: Any) -> "KGMTConfig":
         return dataclasses.replace(self, **kw)
 

@@ -546,9 +546,18 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
             # sharded mode) plus earlier sub-waves' arrivals — a
             # deterministic stand-in for the reference's racy read of
             # concurrently-updated flags.
-            score_r = oh1 @ r1_score  # [R]; 0.0 where r1 < 0
-            seen_rows = oh1 @ r2_seen.reshape(cfg.num_r1, n2).astype(
-                jnp.float32)
+            # Precision.HIGHEST: the MXU's default lowering truncates f32
+            # operands to bf16, which would perturb the looked-up scores
+            # (~0.4% relative) and break the bitwise-exactness claim on TPU
+            # (ADVICE r3, medium). HIGHEST is exact for f32 (bf16x3
+            # decomposition, f32 accumulate). seen_rows' operands are {0,1}
+            # but it shares the call for uniformity — both are microseconds.
+            score_r = jnp.matmul(
+                oh1, r1_score,
+                precision=jax.lax.Precision.HIGHEST)  # [R]; 0.0 where r1 < 0
+            seen_rows = jnp.matmul(
+                oh1, r2_seen.reshape(cfg.num_r1, n2).astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST)
             seen_r = (seen_rows * ohl).sum(axis=-1)
             virgin_r2 = (r2 < 0) | (seen_r == 0)
             accept = valid & ((u <= score_r) | virgin_r2)

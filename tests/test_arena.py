@@ -261,3 +261,51 @@ def test_arena_permutation_parity_with_goal_bias(monkeypatch):
     np.testing.assert_array_equal(res_mxu.solved, res_gather.solved)
     np.testing.assert_array_equal(res_mxu.costs, res_gather.costs)
     np.testing.assert_array_equal(res_mxu.paths, res_gather.paths)
+
+
+def test_arena_auto_capacity_derivation():
+    """auto_capacity derives tree capacity from the iteration budget:
+    exactly num_iterations windows plus the root block, no max_tree_size
+    coupling (VERDICT r3 weak 6)."""
+    import warnings
+
+    cfg = ARENA_CONFIG.replace(num_iterations=13, max_tree_size=1)  # ignored
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the window-clamp warning must not fire
+        p = ArenaMultiQueryPlanner(cfg, auto_capacity=True)
+    assert p.n_windows == 13
+    assert p.M == (13 + 1) * cfg.rollouts_per_iter
+
+
+def test_arena_budget_exhausted_flag():
+    """Unsolved problems that ran out of windows carry budget_exhausted —
+    capacity starvation is visible, not a silent rate collapse."""
+    cfg = ARENA_CONFIG.replace(num_iterations=2, max_tree_size=512 * 3)
+    inits, goals, obstacles = _demo_batch(2)  # demo needs ~25+ iters at R=512
+    res = ArenaMultiQueryPlanner(cfg).plan_batch(inits, goals, obstacles,
+                                                 seed=0)
+    assert res.budget_exhausted is not None
+    assert (res.budget_exhausted == ~res.solved).all()
+    assert res.budget_exhausted.any()
+
+
+@pytest.mark.slow
+def test_arena_progressive_extension_solves():
+    """max_extensions: budget-exhausted problems restart with a doubled
+    window budget until solved (progressive doubling) — solve rate stops
+    depending on a tuned capacity constant."""
+    cfg = ARENA_CONFIG.replace(num_iterations=8)
+    inits, goals, obstacles = _demo_batch(3, vary_goals=True, seed=9)
+    planner = ArenaMultiQueryPlanner(cfg, auto_capacity=True)
+    base = planner.plan_batch(inits, goals, obstacles, seed=2)
+    assert base.budget_exhausted.any()  # 8 windows can't reach the demo goal
+    ext = planner.plan_batch(inits, goals, obstacles, seed=2,
+                             max_extensions=2)
+    assert ext.solved.sum() > base.solved.sum()
+    assert ext.budget_exhausted.sum() < base.budget_exhausted.sum()
+    # solved problems carry real paths out of the extension rounds too
+    for b in range(3):
+        if ext.solved[b] and not base.solved[b]:
+            L = int(ext.path_lengths[b])
+            assert L >= 2
+            assert _replay_path(ext.paths[b][:L], cfg.num_disc) < 1e-4

@@ -1,23 +1,27 @@
-"""Scaling-efficiency measurement on the virtual CPU mesh (BASELINE.md:
-">=80% scaling efficiency at 2+ hosts"; VERDICT r1 item 2).
+"""Scaling-efficiency measurement (BASELINE.md: ">=80% scaling efficiency at
+2+ hosts"; VERDICT r1 item 2, statistics redone per VERDICT r3 weak 4/5).
 
-Real multi-chip hardware is not available in this environment, so this tool
-measures the two things the CPU mesh CAN measure honestly:
+Real multi-chip hardware is not available in this environment, so the
+evidence comes in two tiers:
 
-1. **Multi-query strong scaling** (BASELINE config 4 structure): a fixed
-   global batch of demo problems on 1 vs 2 vs 4 vs 8 virtual devices.
-   NOTE the box has ~2 physical cores — device counts beyond the core count
-   are oversubscribed and reported as such; the 1->2 point is a genuine
-   parallel-speedup measurement.
+1. **Analytic collective-cost model (PRIMARY)**: the sharded-tree planner's
+   per-iteration collective traffic is computable exactly from the config
+   (one psum of the region-stat pytrees, one exchange all_gather, three
+   scalar termination psums — planners/kgmt.py:414-476,
+   parallel/sharded_tree.py:78-96), and the per-iteration compute time is
+   measured on the real chip (docs/perf.md slope method). Dividing modeled
+   collective time (ICI ring all-reduce cost + per-collective latency) by
+   the measured iteration time bounds the communication fraction on real
+   hardware. The multi-query / Monte-Carlo modes exchange NOTHING between
+   problems until the result fetch, so their scaling loss is load imbalance
+   only.
 
-2. **Sharded-tree communication fraction**: wall per iteration of the
-   sharded-tree planner (psum'd guidance + frontier-exchange all_gather +
-   termination psum, every iteration) vs the IDENTICAL per-shard workload
-   run as 8 independent solves (multi-query, zero collectives). The delta is
-   the collective+sync overhead; efficiency = T_independent / T_sharded.
-   On TPU the collectives ride ICI (orders faster than this CPU emulation
-   which serializes through host memcpy), so the CPU number is a structural
-   LOWER bound for the on-hardware efficiency of the same program.
+2. **CPU-mesh structural measurement (smoke test)**: the same programs run
+   on the 8-virtual-device CPU mesh. The box has ~2 physical cores, the XLA
+   CPU runtime shares them, and collectives serialize through host memory —
+   so these numbers carry wide error bars and are reported with median +
+   IQR over >= 7 repetitions, UNCLAMPED (a negative comm fraction means the
+   effect is below the noise floor of this box, and is reported as such).
 
 Each measurement runs in a fresh subprocess (device count is fixed at
 backend init). Results go to .scaling_bench.json (picked up by bench.py's
@@ -30,11 +34,12 @@ import json
 import os
 import subprocess
 import sys
-import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 OUT = REPO / ".scaling_bench.json"
+
+REPS = 7  # per-measurement repetitions (median + IQR reported)
 
 MQ_WORKER = """
 import os, sys, json, time
@@ -58,11 +63,10 @@ inits = np.tile(sc.init, (B, 1))
 goals = np.tile(sc.goal, (B, 1))
 obstacles, _ = sc.padded_obstacles(cfg.max_obstacles)
 planner.plan_batch(inits, goals, obstacles, seed=1)  # compile + warm
-best = min(planner.plan_batch(inits, goals, obstacles, seed=2).wall_time_s
-           for _ in range(3))
+walls = [planner.plan_batch(inits, goals, obstacles, seed=2).wall_time_s
+         for _ in range(%(reps)d)]
 print("RESULT " + json.dumps({"devices": %(devices)d, "batch": B,
-                              "wall_s": best,
-                              "problems_per_sec": B / best}))
+                              "wall_s_reps": walls}))
 """
 
 SHARDED_WORKER = """
@@ -88,25 +92,19 @@ obstacles, _ = sc.padded_obstacles(cfg.max_obstacles)
 # all_gather + termination psum every iteration
 st = ShardedTreePlanner(cfg, mesh=make_planner_mesh(n_scenario=1, n_tree=8))
 st.plan(sc, seed=1)  # compile + warm
-t_sh = min(st.plan(sc, seed=2).wall_time_s for _ in range(3))
+t_sh = [st.plan(sc, seed=2).wall_time_s for _ in range(%(reps)d)]
 
 # independent: the IDENTICAL per-shard workload with ZERO collectives
 mq = MultiQueryPlanner(cfg, mesh=make_planner_mesh(n_scenario=8, n_tree=1))
 inits = np.tile(sc.init, (8, 1))
 goals = np.tile(sc.goal, (8, 1))
 mq.plan_batch(inits, goals, obstacles, seed=1)  # compile + warm
-t_mq = min(mq.plan_batch(inits, goals, obstacles, seed=2).wall_time_s
-           for _ in range(3))
+t_mq = [mq.plan_batch(inits, goals, obstacles, seed=2).wall_time_s
+        for _ in range(%(reps)d)]
 
-print("RESULT " + json.dumps({
-    "iterations": ITERS,
-    "sharded_wall_s": t_sh,
-    "independent_wall_s": t_mq,
-    "sharded_ms_per_iter": 1e3 * t_sh / ITERS,
-    "independent_ms_per_iter": 1e3 * t_mq / ITERS,
-    "comm_fraction": max(0.0, (t_sh - t_mq) / t_sh),
-    "efficiency": min(1.0, t_mq / t_sh),
-}))
+print("RESULT " + json.dumps({"iterations": ITERS,
+                              "sharded_wall_s_reps": t_sh,
+                              "independent_wall_s_reps": t_mq}))
 """
 
 
@@ -139,8 +137,8 @@ B = 8
 inits = np.tile(sc.init, (B, 1))
 goals = np.tile(sc.goal, (B, 1))
 smq.plan_batch(inits, goals, obstacles, seed=1)  # compile + warm
-t_comb = min(smq.plan_batch(inits, goals, obstacles, seed=2).wall_time_s
-             for _ in range(3))
+t_comb = [smq.plan_batch(inits, goals, obstacles, seed=2).wall_time_s
+          for _ in range(%(reps)d)]
 
 # zero-collective baseline with the IDENTICAL per-device workload: 16
 # independent problems on 8 devices = 2 problems x R rollouts per device
@@ -148,23 +146,17 @@ mq = MultiQueryPlanner(cfg, mesh=make_planner_mesh(n_scenario=8, n_tree=1))
 inits16 = np.tile(sc.init, (16, 1))
 goals16 = np.tile(sc.goal, (16, 1))
 mq.plan_batch(inits16, goals16, obstacles, seed=1)  # compile + warm
-t_ind = min(mq.plan_batch(inits16, goals16, obstacles, seed=2).wall_time_s
-            for _ in range(3))
+t_ind = [mq.plan_batch(inits16, goals16, obstacles, seed=2).wall_time_s
+         for _ in range(%(reps)d)]
 
-print("RESULT " + json.dumps({
-    "iterations": ITERS,
-    "mesh": "scenario=4 x tree=2",
-    "combined_wall_s": t_comb,
-    "independent_wall_s": t_ind,
-    "combined_ms_per_iter": 1e3 * t_comb / ITERS,
-    "independent_ms_per_iter": 1e3 * t_ind / ITERS,
-    "comm_fraction": max(0.0, (t_comb - t_ind) / t_comb),
-    "efficiency": min(1.0, t_ind / t_comb),
-}))
+print("RESULT " + json.dumps({"iterations": ITERS,
+                              "mesh": "scenario=4 x tree=2",
+                              "combined_wall_s_reps": t_comb,
+                              "independent_wall_s_reps": t_ind}))
 """
 
 
-def _run(code: str, timeout: int = 1200) -> dict:
+def _run(code: str, timeout: int = 2400) -> dict:
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=timeout, cwd=REPO)
     for line in out.stdout.splitlines():
@@ -174,39 +166,132 @@ def _run(code: str, timeout: int = 1200) -> dict:
                        f"{out.stderr[-2000:]}")
 
 
+def _stats(xs: list[float]) -> dict:
+    """Median + IQR (no clamping, no best-of): run-to-run dispersion is the
+    finding on this shared 2-core box, not something to hide."""
+    import numpy as np
+
+    a = np.asarray(xs, float)
+    return {"median": float(np.median(a)), "q25": float(np.quantile(a, 0.25)),
+            "q75": float(np.quantile(a, 0.75)), "n": len(xs),
+            "min": float(a.min()), "max": float(a.max())}
+
+
+def analytic_comm_model() -> dict:
+    """PRIMARY evidence for the >=80% target: per-iteration collective bytes
+    (exact, from the config/source) against measured per-iteration compute.
+
+    Collectives per sharded-tree iteration (planners/kgmt.py:414-476,
+    sharded_tree.py:78-96), at the demo config N=16, n=8, exchange_k=64:
+      - psum of (r1_total, r1_valid, r1_invalid, r1_avail)[256] i32 and
+        r2_avail[16384] i32                           -> 69,632 B all-reduced
+      - all_gather of k x (7+2) f32 exchange rows     ->  2,304 B per shard
+      - 3 scalar i32 termination psums                ->     12 B
+    Ring all-reduce moves 2(D-1)/D x V bytes through each link; all_gather
+    (D-1)/D x D x V_shard. v5e ICI: ~4.5e10 B/s per link per direction
+    (public "How to Scale Your Model" v5e figures); per-collective launch
+    latency ~1 us. Iteration compute: the slope-measured single-tree
+    iteration on the real chip (docs/perf.md; R=4096)."""
+    NR1, NR2, K = 256, 16384, 64
+    V_psum = 4 * NR1 * 4 + NR2 * 4
+    V_ag_shard = K * 9 * 4
+    V_scalar = 3 * 4
+    BW = 4.5e10  # B/s per ICI link per direction (v5e, scaling-book figure)
+    LAT = 1e-6  # per-collective
+    N_COLLECTIVES = 5  # stats psum, 3x all_gather (fusable), scalar psums
+    rows = []
+    for D in (2, 4, 8):
+        ring = 2 * (D - 1) / D
+        t_comm = ((V_psum + V_scalar) * ring / BW
+                  + V_ag_shard * (D - 1) / BW
+                  + N_COLLECTIVES * LAT)
+        for iter_ms, src in ((0.464, "r3 measured slope, R=4096"),
+                             (0.25, "r4 target slope, R=4096")):
+            frac = t_comm / (t_comm + iter_ms * 1e-3)
+            rows.append({
+                "devices": D,
+                "iteration_ms": iter_ms,
+                "iteration_ms_source": src,
+                "modeled_comm_us": round(t_comm * 1e6, 2),
+                "comm_fraction": round(frac, 5),
+                "efficiency": round(1.0 - frac, 5),
+            })
+    return {
+        "bytes_per_iteration": {"stats_psum": V_psum,
+                                "exchange_all_gather_per_shard": V_ag_shard,
+                                "termination_psums": V_scalar},
+        "ici_bandwidth_B_per_s": BW,
+        "per_collective_latency_s": LAT,
+        "rows": rows,
+        "multi_query_modes": ("exchange nothing between problems until the "
+                              "result fetch: scaling loss is bounded by load "
+                              "imbalance of the batched while_loop, not "
+                              "communication"),
+    }
+
+
 def main() -> None:
     cores = os.cpu_count() or 1
+    model = analytic_comm_model()
+    worst = min(r["efficiency"] for r in model["rows"])
+    print(f"analytic model: worst-case modeled efficiency {worst:.4f} "
+          f"(>= 0.8 target) across D=2..8")
     mq = []
     for d in (1, 2, 4, 8):
-        r = _run(MQ_WORKER % {"devices": d, "repo": str(REPO)})
+        r = _run(MQ_WORKER % {"devices": d, "repo": str(REPO), "reps": REPS})
+        st = _stats(r.pop("wall_s_reps"))
+        r["wall_s"] = st
+        r["problems_per_sec_median"] = r["batch"] / st["median"]
         r["oversubscribed"] = d > cores
         if mq:
-            base = mq[0]["problems_per_sec"]
-            r["speedup_vs_1dev"] = r["problems_per_sec"] / base
+            base = mq[0]["problems_per_sec_median"]
+            r["speedup_vs_1dev"] = r["problems_per_sec_median"] / base
             r["efficiency_vs_1dev"] = r["speedup_vs_1dev"] / d
         mq.append(r)
-        print(f"multi-query {d} dev: {r['problems_per_sec']:.2f} problems/s"
-              + (f" (eff {r['efficiency_vs_1dev']:.2f})" if d > 1 else ""))
-    sh = _run(SHARDED_WORKER % {"repo": str(REPO)})
-    print(f"sharded-tree: {sh['sharded_ms_per_iter']:.1f} ms/iter vs "
-          f"{sh['independent_ms_per_iter']:.1f} independent -> "
-          f"comm fraction {sh['comm_fraction']:.3f}, "
-          f"efficiency {sh['efficiency']:.3f}")
-    comb = _run(COMBINED_WORKER % {"repo": str(REPO)})
-    print(f"combined 4x2 mesh: {comb['combined_ms_per_iter']:.1f} ms/iter vs "
-          f"{comb['independent_ms_per_iter']:.1f} independent -> "
-          f"comm fraction {comb['comm_fraction']:.3f}, "
-          f"efficiency {comb['efficiency']:.3f}")
+        print(f"multi-query {d} dev: {r['problems_per_sec_median']:.2f} "
+              f"problems/s median (IQR {r['batch']/st['q75']:.2f}-"
+              f"{r['batch']/st['q25']:.2f})"
+              + (f" eff {r['efficiency_vs_1dev']:.2f}" if d > 1 else ""))
+    sh = _run(SHARDED_WORKER % {"repo": str(REPO), "reps": REPS})
+    iters = sh["iterations"]
+    s_sh = _stats(sh.pop("sharded_wall_s_reps"))
+    s_mq = _stats(sh.pop("independent_wall_s_reps"))
+    sh["sharded_wall_s"] = s_sh
+    sh["independent_wall_s"] = s_mq
+    sh["sharded_ms_per_iter_median"] = 1e3 * s_sh["median"] / iters
+    sh["independent_ms_per_iter_median"] = 1e3 * s_mq["median"] / iters
+    # UNCLAMPED: negative means the collective cost is below this box's
+    # run-to-run noise (the IQRs above quantify that noise)
+    sh["comm_fraction_median"] = (s_sh["median"] - s_mq["median"]) / s_sh["median"]
+    sh["efficiency_median"] = s_mq["median"] / s_sh["median"]
+    print(f"sharded-tree: {sh['sharded_ms_per_iter_median']:.1f} ms/iter vs "
+          f"{sh['independent_ms_per_iter_median']:.1f} independent -> "
+          f"comm fraction {sh['comm_fraction_median']:.3f} (unclamped)")
+    comb = _run(COMBINED_WORKER % {"repo": str(REPO), "reps": REPS})
+    s_c = _stats(comb.pop("combined_wall_s_reps"))
+    s_i = _stats(comb.pop("independent_wall_s_reps"))
+    comb["combined_wall_s"] = s_c
+    comb["independent_wall_s"] = s_i
+    comb["combined_ms_per_iter_median"] = 1e3 * s_c["median"] / comb["iterations"]
+    comb["independent_ms_per_iter_median"] = 1e3 * s_i["median"] / comb["iterations"]
+    comb["comm_fraction_median"] = (s_c["median"] - s_i["median"]) / s_c["median"]
+    comb["efficiency_median"] = s_i["median"] / s_c["median"]
+    print(f"combined 4x2 mesh: {comb['combined_ms_per_iter_median']:.1f} "
+          f"ms/iter vs {comb['independent_ms_per_iter_median']:.1f} "
+          f"independent -> comm fraction "
+          f"{comb['comm_fraction_median']:.3f} (unclamped)")
     result = {
         "physical_cores": cores,
+        "analytic_model": model,
         "multi_query_strong_scaling": mq,
         "sharded_tree_comm_overhead": sh,
         "combined_scenario_tree_comm_overhead": comb,
-        "note": ("CPU-mesh structural measurement: collectives are emulated "
-                 "through host memory, so sharded-tree efficiency here is a "
-                 "LOWER bound for the same program on ICI-attached TPU "
-                 "chips; multi-query points beyond the physical core count "
-                 "are oversubscribed."),
+        "note": ("Primary evidence for the >=80% target is the analytic "
+                 "model (exact collective bytes vs real-chip iteration "
+                 "time). The CPU-mesh rows are a structural smoke test: "
+                 "collectives emulate through host memory on a ~2-core box, "
+                 "so their medians carry the reported IQRs and comm "
+                 "fractions are UNCLAMPED (negative = below noise floor)."),
     }
     OUT.write_text(json.dumps(result, indent=2))
     print(f"wrote {OUT}")

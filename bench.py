@@ -143,11 +143,15 @@ def measure_prop_throughput(batch: int = BATCH, repeats: int | None = None,
 
 def measure_time_to_solution(rollout_backend: str = "auto",
                              goal_bias: float = 0.0,
-                             scenario: str = "demo",
+                             scenario: str = "demo", seeds: int = 20,
                              **cfg_overrides) -> dict:
-    """Wall time to first solution. scenario: 'demo' (reference workload) or
-    'dense24' (BASELINE config 3's dense-obstacle field); cfg_overrides patch
-    KGMTConfig (e.g. N=32, n=8 for the fine-grid stress)."""
+    """Wall time to first solution over ``seeds`` independent solves
+    (VERDICT r3 item 8: p10/p50/p90 quantiles, not 3-seed best-of).
+    scenario: 'demo' (reference workload) or 'dense24' (BASELINE config 3's
+    dense-obstacle field); cfg_overrides patch KGMTConfig (e.g. N=32, n=8
+    for the fine-grid stress)."""
+    import numpy as np
+
     from cudasbmp_tpu.config import KGMTConfig, Scenario
     from cudasbmp_tpu.planners.kgmt import KGMT
 
@@ -158,15 +162,28 @@ def measure_time_to_solution(rollout_backend: str = "auto",
     # clock which also excludes CUDA compile)
     planner.plan(sc)
     planner.plan(sc, seed=101)
-    results = [planner.plan(sc, seed=s) for s in range(3)]
+    results = [planner.plan(sc, seed=s) for s in range(seeds)]
     solved = [r for r in results if r.solved]
+
+    def _q(xs):
+        if not xs:
+            return None
+        q = np.quantile(np.asarray(xs, float), [0.1, 0.5, 0.9])
+        return {"p10": round(float(q[0]), 4), "p50": round(float(q[1]), 4),
+                "p90": round(float(q[2]), 4)}
+
+    walls = [r.wall_time_s for r in solved]
     return {
+        "seeds": seeds,
         "solve_rate": len(solved) / len(results),
-        "tts_s": min(r.wall_time_s for r in solved) if solved else None,
-        "tts_mean_s": (sum(r.wall_time_s for r in solved) / len(solved))
-        if solved else None,
+        # best/mean kept for cross-round comparability with r1-r3 records
+        "tts_s": min(walls) if solved else None,
+        "tts_mean_s": (sum(walls) / len(walls)) if solved else None,
+        "tts_quantiles_s": _q(walls),
         "cost": min(r.cost for r in solved) if solved else None,
+        "cost_quantiles": _q([r.cost for r in solved]),
         "iterations": min(r.iterations for r in solved) if solved else None,
+        "iters_quantiles": _q([r.iterations for r in solved]),
     }
 
 
@@ -176,9 +193,16 @@ def measure_device_tts(rollout_backend: str = "pallas_rng") -> dict:
     at two K values; the slope d(wall)/dK is pure device time per solve —
     the ~25-60 ms tunnel dispatch cost cancels in the difference. Wall TTS
     stays the honest end-to-end number; this one is comparable across rounds
-    under varying relay load."""
+    under varying relay load.
+
+    r4: the slope now averages 20 seeds (k 2->22), and per-seed
+    (cost, iterations) come back as arrays so the ITERATION distribution is
+    exact; per-seed device-time quantiles are reported as the proxy
+    iters_quantile * (mean_time / mean_iters) — individual solve times
+    inside one dispatch cannot be separated without host syncs."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from cudasbmp_tpu.config import KGMTConfig, Scenario
     from cudasbmp_tpu.geometry.grid import RegionGrid
@@ -199,24 +223,38 @@ def measure_device_tts(rollout_backend: str = "pallas_rng") -> dict:
                 key = jax.random.fold_in(key0, i)
                 final = kgmt_solve(cfg, system, grid, init, goal, obstacles,
                                    key)
-                return acc + final.cost_to_goal + final.itr, None
+                return acc, (final.cost_to_goal, final.itr)
 
-            out, _ = jax.lax.scan(body, jnp.float32(0.0),
-                                  jnp.arange(k, dtype=jnp.int32))
-            return out
+            _, outs = jax.lax.scan(body, jnp.float32(0.0),
+                                   jnp.arange(k, dtype=jnp.int32))
+            return outs
 
         return run
 
-    k_lo, k_hi = 2, 10
+    k_lo, k_hi = 2, 22
     f_lo, f_hi = many(k_lo), many(k_hi)
     key = jax.random.key(42)
-    f_lo(key).block_until_ready()  # compile
-    f_hi(key).block_until_ready()
+    jax.block_until_ready(f_lo(key))  # compile
+    costs, iters = jax.device_get(jax.block_until_ready(f_hi(key)))
     t_lo = min(_walltime(f_lo, key) for _ in range(3))
     t_hi = min(_walltime(f_hi, key) for _ in range(3))
     per_solve = max(t_hi - t_lo, 0.0) / (k_hi - k_lo)
+    costs, iters = np.asarray(costs), np.asarray(iters)
+    solved = np.isfinite(costs)
+    iq = (np.quantile(iters[solved].astype(float), [0.1, 0.5, 0.9])
+          if solved.any() else np.full(3, np.nan))
+    mean_it = float(iters[solved].mean()) if solved.any() else float("nan")
+    scale = per_solve / mean_it if mean_it == mean_it and mean_it > 0 else 0.0
     return {
         "tts_device_s": per_solve,
+        "tts_device_quantiles_s": {
+            "p10": round(float(iq[0]) * scale, 5),
+            "p50": round(float(iq[1]) * scale, 5),
+            "p90": round(float(iq[2]) * scale, 5),
+            "method": "iters quantile x mean per-iteration time",
+        },
+        "solve_rate": round(float(solved.mean()), 4),
+        "iters_quantiles": [round(float(x), 1) for x in iq],
         "k_lo": k_lo, "k_hi": k_hi,
         "wall_lo_s": t_lo, "wall_hi_s": t_hi,
         "method": "slope of K sequential in-dispatch solves (seeds folded)",
@@ -360,6 +398,38 @@ def measure_monte_carlo(batch: int = 1024, num_obstacles: int = 8) -> dict:
     return best
 
 
+def measure_streaming_mc(total: int = 1024, pool: int = 1024,
+                         num_obstacles: int = 8) -> dict:
+    """Streaming Monte-Carlo sweep (VERDICT r3 item 7): solved slots refill
+    with fresh scenarios device-side, so wall time is not bounded by the
+    slowest problem of a static batch, and there is no tree storage or path
+    extraction at all. Same scenario recipe as measure_monte_carlo (config 5
+    per-chip)."""
+    from cudasbmp_tpu.config import KGMTConfig
+    from cudasbmp_tpu.parallel.streaming_mc import StreamingMonteCarloPlanner
+
+    cfg = KGMTConfig(rollouts_per_iter=128, num_iterations=150,
+                     rollout_backend="pallas_rng", adaptive_waves=False)
+    mc = StreamingMonteCarloPlanner(cfg, pool=min(pool, total))
+    mc.run(total, seed=0, num_obstacles=num_obstacles)  # warmup/compile
+    best = None
+    for seed in (1, 2):  # best-of-2 against relay jitter
+        s = mc.run(total, seed=seed, num_obstacles=num_obstacles)
+        if best is None or s.solves_per_sec > best["solves_per_sec"]:
+            best = {
+                "total_scenarios": total,
+                "pool": mc.pool,
+                "num_obstacles": num_obstacles,
+                "solve_rate": s.solve_rate,
+                "solves_per_sec": round(s.solves_per_sec, 1),
+                "wall_time_s": round(s.wall_time_s, 4),
+                "mean_cost_solved": round(s.mean_cost_solved, 3),
+                "cost_quantiles": s.cost_quantiles,
+                "num_budget_exhausted": s.num_budget_exhausted,
+            }
+    return best
+
+
 def cpu_baseline() -> float:
     """Single-process CPU valid-props/sec, measured once and cached."""
     if CPU_CACHE.exists():
@@ -492,6 +562,12 @@ def main() -> None:
     if mc_sweep is None:
         mc_sweep = _load_recorded(
             ".mc_bench.json", "tools/mc_bench.py (recorded, real TPU)")
+    stream_mc = (maybe(measure_streaming_mc)
+                 if on_tpu and have_time(reserve_s=420) else None)
+    if stream_mc is None:
+        stream_mc = _load_recorded(
+            ".streaming_mc.json",
+            "tools/streaming_bench.py (recorded, real TPU)")
     cpu = cpu_baseline()
     value = best["valid_per_sec"]
     target = 10.0 * cpu if cpu == cpu else float("nan")  # >=10x CPU baseline
@@ -532,6 +608,7 @@ def main() -> None:
         "tts_device_s": dev_tts["tts_device_s"] if dev_tts else None,
         "tts_device_detail": dev_tts,
         "monte_carlo_1024": mc_sweep,
+        "streaming_monte_carlo": stream_mc,
         "mfu": _load_roofline(),
         # CPU-mesh scaling-efficiency structural measurement
         # (tools/scaling_bench.py writes this; BASELINE.md >=80% target)
@@ -561,6 +638,8 @@ def main() -> None:
                 mc_sweep.get("solves_per_sec") if mc_sweep else None, 1),
             "monte_carlo_solve_rate": (
                 mc_sweep.get("solve_rate") if mc_sweep else None),
+            "streaming_mc_solves_per_sec": _round_opt(
+                stream_mc.get("solves_per_sec") if stream_mc else None, 1),
             "cpu_valid_per_sec": round(cpu, 1) if cpu == cpu else None,
             "detail_file": "BENCH_EXTRA.json",
         },

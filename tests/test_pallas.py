@@ -256,9 +256,14 @@ def test_seed_tiles_vmap_composable():
     assert len({int(v[0, 0]) for v in vt}) == 3
 
 
-@pytest.mark.parametrize("fast_math,footprint",
-                         [(False, None), (True, None), (False, (0.5, 0.25))])
-def test_culled_broad_phase_bit_identical(fast_math, footprint, rng):
+@pytest.mark.parametrize("fast_math,footprint,cull",
+                         [(False, None, True), (True, None, True),
+                          (False, (0.5, 0.25), True),
+                          # r4 step-windowed culling: per-window union boxes
+                          # nested under the whole-trajectory cond
+                          (False, None, 2), (False, None, 4),
+                          (True, None, 2), (False, (0.5, 0.25), 2)])
+def test_culled_broad_phase_bit_identical(fast_math, footprint, cull, rng):
     """The per-program broad phase (_integrate_culled) must be EXACT: a
     culled obstacle is provably separated from the program's union
     trajectory AABB, so (x1, valid) are bit-identical to the one-pass body
@@ -287,7 +292,7 @@ def test_culled_broad_phase_bit_identical(fast_math, footprint, rng):
     a = rollout_pallas(sys_, jnp.asarray(x0), jnp.asarray(controls),
                        jnp.asarray(obs), cull=False, **kw)
     b = rollout_pallas(sys_, jnp.asarray(x0), jnp.asarray(controls),
-                       jnp.asarray(obs), cull=True, **kw)
+                       jnp.asarray(obs), cull=cull, **kw)
     valid_a = np.asarray(a[1])
     np.testing.assert_array_equal(valid_a, np.asarray(b[1]))
     # Positions: the culled body's collision/freeze LOGIC is exact, but under

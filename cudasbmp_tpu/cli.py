@@ -229,9 +229,15 @@ def main(argv: list[str] | None = None) -> int:
     _add_config_args(p_sweep)
     p_sweep.add_argument("--scenarios", type=int, default=64)
     p_sweep.add_argument("--obstacles", type=int, default=8)
-    p_sweep.add_argument("--impl", choices=["vmap", "arena"], default="vmap",
+    p_sweep.add_argument("--impl", choices=["vmap", "arena", "stream"],
+                         default="vmap",
                          help="'arena' = the scatter-free batched planner "
-                         "(fixed wave width; ~10x at large sweeps)")
+                         "(fixed wave width; ~10x at large sweeps); "
+                         "'stream' = slot-refilling streaming sweep (no "
+                         "static-batch barrier, per-scenario results, no "
+                         "tree storage)")
+    p_sweep.add_argument("--pool", type=int, default=1024,
+                         help="resident slot count for --impl stream")
 
     p_sharded = sub.add_parser(
         "sharded", help="ONE logical tree sharded over the mesh 'tree' axis "
@@ -325,9 +331,26 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "sweep":
+        cfg = _config_from_args(args)
+        if args.impl == "stream":
+            from cudasbmp_tpu.parallel import StreamingMonteCarloPlanner
+
+            mc = StreamingMonteCarloPlanner(
+                cfg, pool=min(args.pool, args.scenarios))
+            s = mc.run(num_scenarios=args.scenarios, seed=cfg.seed,
+                       num_obstacles=args.obstacles)
+            print(json.dumps({
+                "scenarios": s.num_scenarios,
+                "solve_rate": s.solve_rate,
+                "mean_cost_solved": s.mean_cost_solved,
+                "cost_quantiles": s.cost_quantiles,
+                "num_budget_exhausted": s.num_budget_exhausted,
+                "wall_time_s": s.wall_time_s,
+                "solves_per_sec": s.solves_per_sec,
+            }, indent=2))
+            return 0
         from cudasbmp_tpu.parallel import MonteCarloPlanner, make_planner_mesh
 
-        cfg = _config_from_args(args)
         mc = MonteCarloPlanner(cfg, mesh=make_planner_mesh(), impl=args.impl)
         s = mc.run(num_scenarios=args.scenarios, seed=cfg.seed,
                    num_obstacles=args.obstacles)
@@ -338,6 +361,7 @@ def main(argv: list[str] | None = None) -> int:
             "mean_tree_size": s.mean_tree_size,
             "wall_time_s": s.wall_time_s,
             "solves_per_sec": s.solves_per_sec,
+            "num_budget_exhausted": s.num_budget_exhausted,
         }, indent=2))
         return 0
 

@@ -392,6 +392,161 @@ def expansion_wave(cfg: KGMTConfig, system, obstacles: Array, goal: Array,
             samples1, k_accept)
 
 
+
+
+def _wave_step(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
+               goal: Array, frontier_lo0, tree_size0, n_target,
+               r1_score: Array, gid_base, pool, carry):
+    """Phases (c) expand, (d) commit, (e) goal — one R-slot sub-wave of one
+    iteration, as a pure ``(w, state, r2_seen) -> (w+1, state, r2_seen)``
+    step over the iteration-start context (frontier range, rollout target,
+    scores, exchange pool). NO collectives in here: in sharded mode the
+    trip count differs per shard (frontier widths differ), so anything
+    collective would deadlock; region stats are psum'd once per iteration
+    in kgmt_iteration phase (a).
+
+    Shared by BOTH drivers: kgmt_iteration's nested wave while_loop (the
+    sharded/recorded path) and kgmt_run's flat (iteration x wave) loop (the
+    unsharded fast path — see kgmt_run for why flat wins)."""
+    M = cfg.max_tree_size
+    R = cfg.rollouts_per_iter
+    frontier_size = tree_size0 - frontier_lo0
+    w, s_in, r2_seen = carry
+
+    with jax.named_scope("kgmt_expand"):
+        (slot_active, parent_gid, parent_cost, x1, controls, valid,
+         samples1, k_accept) = expansion_wave(
+            cfg, system, obstacles, goal, s_in, wave=w,
+            frontier_lo=frontier_lo0, frontier_size=frontier_size,
+            n_target=n_target, pool=pool, gid_base=gid_base)
+
+    # --- region statistics (atomics -> one-hot MXU contraction) -------
+    with jax.named_scope("kgmt_region_stats"):
+        r1, r2 = grid.region_indices(x1[:, 0:2])
+        # The reference's six atomicAdd streams + two atomicExch flips
+        # (KGMT.cu:392-410) first became one packed 2-column scatter per
+        # grid level (ops.segments.masked_multi_bincount); the r3 op
+        # probe (tools/r3_probe4.py, v5e) then measured that scatter
+        # pair at 81 us/iteration vs 9 us for the equivalent one-hot
+        # einsum — TPU serializes data-dependent scatters — so both
+        # levels are now ONE [R, NR1] x [R, 2*n^2+2] contraction, using
+        # r2 = r1*n^2 + loc (grid.r2_index). Counts stay exact: each is
+        # a sum of {0,1} terms <= R < 2^24 in f32, cast back to int32.
+        # invalid = touched - valid, and a cell becomes available
+        # exactly when its valid count first exceeds zero
+        # (KGMT.cu:401-406).
+        n2 = cfg.n * cfg.n
+        in_r1 = r1 >= 0
+        in_r2 = r2 >= 0
+        loc = jnp.where(in_r2, r2 - r1 * n2, 0)
+        oh1 = (jax.nn.one_hot(jnp.maximum(r1, 0), cfg.num_r1,
+                              dtype=jnp.float32)
+               * in_r1[:, None].astype(jnp.float32))  # [R, NR1]
+        ohl = (jax.nn.one_hot(loc, n2, dtype=jnp.float32)
+               * in_r2[:, None].astype(jnp.float32))  # [R, n^2]
+        act_f = slot_active.astype(jnp.float32)
+        val_f = valid.astype(jnp.float32)
+        rhs = jnp.concatenate(
+            [ohl * act_f[:, None], ohl * val_f[:, None],
+             act_f[:, None], val_f[:, None]], axis=-1)
+        dmat = jnp.einsum("rc,rl->cl", oh1, rhs,
+                          preferred_element_type=jnp.float32)
+        d1 = jnp.stack(
+            [dmat[:, 2 * n2], dmat[:, 2 * n2 + 1]], axis=-1
+        ).astype(jnp.int32)
+        d2 = jnp.stack(
+            [dmat[:, :n2].ravel(), dmat[:, n2:2 * n2].ravel()], axis=-1
+        ).astype(jnp.int32)
+
+    # --- acceptance (KGMT.cu:394-400): Bernoulli(score of child's R1
+    #     cell) OR the child's R2 subcell was never reached before -------
+    with jax.named_scope("kgmt_accept"):
+        u = jax.random.uniform(k_accept, (R,))
+        # Score/seen lookups ride the SAME one-hots as the stats pass
+        # (12x cheaper than the direct [R]-from-table gathers they
+        # replace, tools/r3_probe4.py), and stay bitwise exact: a
+        # one-hot matmul selects one f32 term, the rest are exact +0.0.
+        # Valid children OUTSIDE the region grid (possible when height >
+        # width: both axes use width-derived cells, KGMT.cu:13-14) are
+        # always accepted via the virgin term below — r1 < 0 implies
+        # r2 < 0 (grid.py r2_index), and their one-hot rows are all
+        # zero, so score_r = 0 never wins the Bernoulli draw. The
+        # reference would index its arrays at -1 here (UB, SURVEY.md
+        # §2.4.7). r2_seen is the iteration-start snapshot (global in
+        # sharded mode) plus earlier sub-waves' arrivals — a
+        # deterministic stand-in for the reference's racy read of
+        # concurrently-updated flags.
+        # Precision.HIGHEST: the MXU's default lowering truncates f32
+        # operands to bf16, which would perturb the looked-up scores
+        # (~0.4% relative) and break the bitwise-exactness claim on TPU
+        # (ADVICE r3, medium). HIGHEST is exact for f32 (bf16x3
+        # decomposition, f32 accumulate). seen_rows' operands are {0,1}
+        # but it shares the call for uniformity — both are microseconds.
+        score_r = jnp.matmul(
+            oh1, r1_score,
+            precision=jax.lax.Precision.HIGHEST)  # [R]; 0.0 where r1 < 0
+        seen_rows = jnp.matmul(
+            oh1, r2_seen.reshape(cfg.num_r1, n2).astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST)
+        seen_r = (seen_rows * ohl).sum(axis=-1)
+        virgin_r2 = (r2 < 0) | (seen_r == 0)
+        accept = valid & ((u <= score_r) | virgin_r2)
+    r2_seen = r2_seen | (d2[:, 1] > 0).astype(jnp.int32)
+
+    # --- commit (updateG, KGMT.cu:540-593), correct capacity clamp ----
+    with jax.named_scope("kgmt_commit"):
+        accept_i = accept.astype(jnp.int32)
+        accept_pos = jnp.cumsum(accept_i) - accept_i
+        child_slot = s_in.tree_size + accept_pos
+        within = accept & (child_slot < M)
+        n_accepted = jnp.minimum(accept_i.sum(), M - s_in.tree_size)
+        dst = jnp.where(within, child_slot, M)  # OOB -> dropped
+        tree_samples = s_in.tree_samples.at[dst].set(samples1, mode="drop")
+        # parent references are global ids under a mesh axis (gid_base
+        # offset; may point into ANOTHER shard's tree via the exchange
+        # pool), plain local indices otherwise
+        tree_parent = s_in.tree_parent.at[dst].set(parent_gid, mode="drop")
+        # cost = parent cost + edge duration (getCost returns x1[6],
+        # KGMT.cu:631-633: the metric is pure trajectory time).
+        child_cost = parent_cost + controls[:, -1]
+        costs = s_in.costs.at[dst].set(child_cost, mode="drop")
+
+    # --- goal check (inGoalRegion, KGMT.cu:635-638) --------------------
+    with jax.named_scope("kgmt_goal"):
+        d2g = (x1[:, 0] - goal[0]) ** 2 + (x1[:, 1] - goal[1]) ** 2
+        in_goal = within & (d2g < cfg.goal_threshold**2)
+        goal_costs = jnp.where(in_goal, child_cost, jnp.inf)
+        best = jnp.argmin(goal_costs)
+        best_cost = goal_costs[best]
+        improved = best_cost < s_in.cost_to_goal
+        cost_to_goal = jnp.where(improved, best_cost, s_in.cost_to_goal)
+        # goal_node is a global id under a mesh axis (gid_base = 0 else)
+        goal_node = jnp.where(improved, gid_base + child_slot[best],
+                              s_in.goal_node)
+
+    s_out = s_in._replace(
+        tree_samples=tree_samples,
+        tree_parent=tree_parent,
+        costs=costs,
+        tree_size=s_in.tree_size + n_accepted,
+        r1_total=s_in.r1_total + d1[:, 0],
+        r1_valid=s_in.r1_valid + d1[:, 1],
+        r1_invalid=s_in.r1_invalid + (d1[:, 0] - d1[:, 1]),
+        r1_avail=s_in.r1_avail | (d1[:, 1] > 0).astype(jnp.int32),
+        r2_total=s_in.r2_total + d2[:, 0],
+        r2_valid=s_in.r2_valid + d2[:, 1],
+        r2_invalid=s_in.r2_invalid + (d2[:, 0] - d2[:, 1]),
+        r2_avail=s_in.r2_avail | (d2[:, 1] > 0).astype(jnp.int32),
+        u_samples=samples1,  # staging buffer holds the latest sub-wave
+        u_parent=parent_gid,
+        cost_to_goal=cost_to_goal,
+        goal_node=goal_node,
+        m_valid=s_in.m_valid.at[s_in.itr].add(valid.sum()),
+        m_accepted=s_in.m_accepted.at[s_in.itr].add(n_accepted),
+    )
+    return w + 1, s_out, r2_seen
+
+
 def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
                    goal: Array, s: KGMTState, axis_name: str | None = None
                    ) -> KGMTState:
@@ -475,146 +630,10 @@ def kgmt_iteration(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
                         g_costs.reshape(-1))
 
     it = s.itr
+    sub_wave = partial(_wave_step, cfg, system, grid, obstacles, goal,
+                       frontier_lo0, tree_size0, n_target, r1_score,
+                       gid_base, pool)
 
-    def sub_wave(carry):
-        """Phases (c) expand, (d) commit, (e) goal — one R-slot sub-wave.
-        NO collectives in here: in sharded mode the trip count differs per
-        shard (frontier widths differ), so anything collective would
-        deadlock; region stats are psum'd once per iteration in (a)."""
-        w, s_in, r2_seen = carry
-
-        with jax.named_scope("kgmt_expand"):
-            (slot_active, parent_gid, parent_cost, x1, controls, valid,
-             samples1, k_accept) = expansion_wave(
-                cfg, system, obstacles, goal, s_in, wave=w,
-                frontier_lo=frontier_lo0, frontier_size=frontier_size,
-                n_target=n_target, pool=pool, gid_base=gid_base)
-
-        # --- region statistics (atomics -> one-hot MXU contraction) -------
-        with jax.named_scope("kgmt_region_stats"):
-            r1, r2 = grid.region_indices(x1[:, 0:2])
-            # The reference's six atomicAdd streams + two atomicExch flips
-            # (KGMT.cu:392-410) first became one packed 2-column scatter per
-            # grid level (ops.segments.masked_multi_bincount); the r3 op
-            # probe (tools/r3_probe4.py, v5e) then measured that scatter
-            # pair at 81 us/iteration vs 9 us for the equivalent one-hot
-            # einsum — TPU serializes data-dependent scatters — so both
-            # levels are now ONE [R, NR1] x [R, 2*n^2+2] contraction, using
-            # r2 = r1*n^2 + loc (grid.r2_index). Counts stay exact: each is
-            # a sum of {0,1} terms <= R < 2^24 in f32, cast back to int32.
-            # invalid = touched - valid, and a cell becomes available
-            # exactly when its valid count first exceeds zero
-            # (KGMT.cu:401-406).
-            n2 = cfg.n * cfg.n
-            in_r1 = r1 >= 0
-            in_r2 = r2 >= 0
-            loc = jnp.where(in_r2, r2 - r1 * n2, 0)
-            oh1 = (jax.nn.one_hot(jnp.maximum(r1, 0), cfg.num_r1,
-                                  dtype=jnp.float32)
-                   * in_r1[:, None].astype(jnp.float32))  # [R, NR1]
-            ohl = (jax.nn.one_hot(loc, n2, dtype=jnp.float32)
-                   * in_r2[:, None].astype(jnp.float32))  # [R, n^2]
-            act_f = slot_active.astype(jnp.float32)
-            val_f = valid.astype(jnp.float32)
-            rhs = jnp.concatenate(
-                [ohl * act_f[:, None], ohl * val_f[:, None],
-                 act_f[:, None], val_f[:, None]], axis=-1)
-            dmat = jnp.einsum("rc,rl->cl", oh1, rhs,
-                              preferred_element_type=jnp.float32)
-            d1 = jnp.stack(
-                [dmat[:, 2 * n2], dmat[:, 2 * n2 + 1]], axis=-1
-            ).astype(jnp.int32)
-            d2 = jnp.stack(
-                [dmat[:, :n2].ravel(), dmat[:, n2:2 * n2].ravel()], axis=-1
-            ).astype(jnp.int32)
-
-        # --- acceptance (KGMT.cu:394-400): Bernoulli(score of child's R1
-        #     cell) OR the child's R2 subcell was never reached before -------
-        with jax.named_scope("kgmt_accept"):
-            u = jax.random.uniform(k_accept, (R,))
-            # Score/seen lookups ride the SAME one-hots as the stats pass
-            # (12x cheaper than the direct [R]-from-table gathers they
-            # replace, tools/r3_probe4.py), and stay bitwise exact: a
-            # one-hot matmul selects one f32 term, the rest are exact +0.0.
-            # Valid children OUTSIDE the region grid (possible when height >
-            # width: both axes use width-derived cells, KGMT.cu:13-14) are
-            # always accepted via the virgin term below — r1 < 0 implies
-            # r2 < 0 (grid.py r2_index), and their one-hot rows are all
-            # zero, so score_r = 0 never wins the Bernoulli draw. The
-            # reference would index its arrays at -1 here (UB, SURVEY.md
-            # §2.4.7). r2_seen is the iteration-start snapshot (global in
-            # sharded mode) plus earlier sub-waves' arrivals — a
-            # deterministic stand-in for the reference's racy read of
-            # concurrently-updated flags.
-            # Precision.HIGHEST: the MXU's default lowering truncates f32
-            # operands to bf16, which would perturb the looked-up scores
-            # (~0.4% relative) and break the bitwise-exactness claim on TPU
-            # (ADVICE r3, medium). HIGHEST is exact for f32 (bf16x3
-            # decomposition, f32 accumulate). seen_rows' operands are {0,1}
-            # but it shares the call for uniformity — both are microseconds.
-            score_r = jnp.matmul(
-                oh1, r1_score,
-                precision=jax.lax.Precision.HIGHEST)  # [R]; 0.0 where r1 < 0
-            seen_rows = jnp.matmul(
-                oh1, r2_seen.reshape(cfg.num_r1, n2).astype(jnp.float32),
-                precision=jax.lax.Precision.HIGHEST)
-            seen_r = (seen_rows * ohl).sum(axis=-1)
-            virgin_r2 = (r2 < 0) | (seen_r == 0)
-            accept = valid & ((u <= score_r) | virgin_r2)
-        r2_seen = r2_seen | (d2[:, 1] > 0).astype(jnp.int32)
-
-        # --- commit (updateG, KGMT.cu:540-593), correct capacity clamp ----
-        with jax.named_scope("kgmt_commit"):
-            accept_i = accept.astype(jnp.int32)
-            accept_pos = jnp.cumsum(accept_i) - accept_i
-            child_slot = s_in.tree_size + accept_pos
-            within = accept & (child_slot < M)
-            n_accepted = jnp.minimum(accept_i.sum(), M - s_in.tree_size)
-            dst = jnp.where(within, child_slot, M)  # OOB -> dropped
-            tree_samples = s_in.tree_samples.at[dst].set(samples1, mode="drop")
-            # parent references are global ids under a mesh axis (gid_base
-            # offset; may point into ANOTHER shard's tree via the exchange
-            # pool), plain local indices otherwise
-            tree_parent = s_in.tree_parent.at[dst].set(parent_gid, mode="drop")
-            # cost = parent cost + edge duration (getCost returns x1[6],
-            # KGMT.cu:631-633: the metric is pure trajectory time).
-            child_cost = parent_cost + controls[:, -1]
-            costs = s_in.costs.at[dst].set(child_cost, mode="drop")
-
-        # --- goal check (inGoalRegion, KGMT.cu:635-638) --------------------
-        with jax.named_scope("kgmt_goal"):
-            d2g = (x1[:, 0] - goal[0]) ** 2 + (x1[:, 1] - goal[1]) ** 2
-            in_goal = within & (d2g < cfg.goal_threshold**2)
-            goal_costs = jnp.where(in_goal, child_cost, jnp.inf)
-            best = jnp.argmin(goal_costs)
-            best_cost = goal_costs[best]
-            improved = best_cost < s_in.cost_to_goal
-            cost_to_goal = jnp.where(improved, best_cost, s_in.cost_to_goal)
-            # goal_node is a global id under a mesh axis (gid_base = 0 else)
-            goal_node = jnp.where(improved, gid_base + child_slot[best],
-                                  s_in.goal_node)
-
-        s_out = s_in._replace(
-            tree_samples=tree_samples,
-            tree_parent=tree_parent,
-            costs=costs,
-            tree_size=s_in.tree_size + n_accepted,
-            r1_total=s_in.r1_total + d1[:, 0],
-            r1_valid=s_in.r1_valid + d1[:, 1],
-            r1_invalid=s_in.r1_invalid + (d1[:, 0] - d1[:, 1]),
-            r1_avail=s_in.r1_avail | (d1[:, 1] > 0).astype(jnp.int32),
-            r2_total=s_in.r2_total + d2[:, 0],
-            r2_valid=s_in.r2_valid + d2[:, 1],
-            r2_invalid=s_in.r2_invalid + (d2[:, 0] - d2[:, 1]),
-            r2_avail=s_in.r2_avail | (d2[:, 1] > 0).astype(jnp.int32),
-            u_samples=samples1,  # staging buffer holds the latest sub-wave
-            u_parent=parent_gid,
-            cost_to_goal=cost_to_goal,
-            goal_node=goal_node,
-            m_valid=s_in.m_valid.at[it].add(valid.sum()),
-            m_accepted=s_in.m_accepted.at[it].add(n_accepted),
-        )
-        return w + 1, s_out, r2_seen
 
     with jax.named_scope("kgmt_waves"):
         # r2_seen starts from the iteration-start availability snapshot
@@ -667,17 +686,88 @@ def kgmt_run(cfg: KGMTConfig, system, grid: RegionGrid, goal: Array,
     full, stall (when retry is off), or iteration budget — the reference's
     host loop + termination tests (KGMT.cu:118-259) with the done-flag kept
     on device (no per-iteration host syncs). Starting from a checkpointed
-    state continues the exact same trajectory (resume support)."""
+    state continues the exact same trajectory (resume support).
 
-    def cond(s: KGMTState) -> Array:
+    Structure (r4): ONE while_loop whose trip is a single sub-wave, with
+    iteration boundaries handled by predicated selects — NOT an outer
+    iteration loop nesting an inner wave loop. The r4 ablation probes
+    (tools/r4_probe1/2/4) showed the nested inner while_loop materializes
+    tree-sized carry copies every iteration: at R=4096 the nested
+    iteration measured 0.43-0.46 ms while the identical math in flat form
+    measured ~0.17 ms (commit scatters drop from ~0.26 ms in-context to
+    ~0.04). The per-wave math is the SAME ``_wave_step`` the nested
+    ``kgmt_iteration`` uses (bitwise-identical results; kgmt_iteration
+    remains the building block for the sharded-tree driver, whose
+    collectives must sit in a lockstep per-iteration loop, and for
+    plan_recorded's host-stepped dumps)."""
+    M = cfg.max_tree_size
+    R = cfg.rollouts_per_iter
+
+    def outer_keep(s: KGMTState) -> Array:
         solved = (jnp.isfinite(s.cost_to_goal)
                   if cfg.stop_on_first_solution else jnp.zeros((), bool))
-        full = s.tree_size >= cfg.max_tree_size
+        full = s.tree_size >= M
         dead = jnp.zeros((), bool) if cfg.keep_frontier_on_stall else s.stalled
         return (s.itr < cfg.num_iterations) & ~solved & ~full & ~dead
 
-    body = partial(kgmt_iteration, cfg, system, grid, obstacles, goal)
-    return jax.lax.while_loop(cond, body, s0)
+    def cond(c) -> Array:
+        s, w = c[0], c[1]
+        # mid-iteration waves always run to completion (the nested design
+        # likewise only checks termination between iterations)
+        return (w > 0) | outer_keep(s)
+
+    def body(c):
+        s, w, fl0, ts0, n_tgt, r1_score, r1_thr, r2_seen = c
+        is0 = w == 0
+        with jax.named_scope("kgmt_scores"):
+            # phase (a) belongs to wave 0; mid-iteration waves keep the
+            # iteration-start context via the selects below. The formula is
+            # 256-cell arithmetic — computing it every wave and selecting
+            # costs less than any control flow would.
+            f_score, f_thr = update_region_scores(cfg, s)
+        r1_score = jnp.where(is0, f_score, r1_score)
+        r1_thr = jnp.where(is0, f_thr, r1_thr)
+        fl0 = jnp.where(is0, s.frontier_lo, fl0)
+        ts0 = jnp.where(is0, s.tree_size, ts0)
+        frontier_size = ts0 - fl0
+        fresh_tgt = jnp.minimum(cfg.fanout * frontier_size, M - ts0)
+        if not cfg.adaptive_waves:
+            fresh_tgt = jnp.minimum(fresh_tgt, R)
+        n_tgt = jnp.where(is0, fresh_tgt, n_tgt)
+        r2_seen = jnp.where(is0, s.r2_avail, r2_seen)
+        # under outer_keep: frontier nonempty and capacity left => n_tgt >= 1
+        # => n_waves >= 1, so unconditionally running one wave per trip is
+        # exactly the nested trip sequence
+        n_waves = ((n_tgt + R - 1) // R if cfg.adaptive_waves
+                   else jnp.minimum(n_tgt, jnp.int32(1)))
+        it = s.itr
+        w2, s2, r2_seen = _wave_step(cfg, system, grid, obstacles, goal,
+                                     fl0, ts0, n_tgt, r1_score, 0, None,
+                                     (w, s, r2_seen))
+        last = w2 >= n_waves
+        stalled = s2.tree_size == ts0
+        if cfg.keep_frontier_on_stall:
+            new_lo = jnp.where(stalled, fl0, ts0)
+        else:
+            new_lo = ts0
+        s2 = s2._replace(
+            frontier_lo=jnp.where(last, new_lo, s2.frontier_lo),
+            r1_score=r1_score,
+            r1_threshold=r1_thr,
+            itr=it + last.astype(jnp.int32),
+            stalled=jnp.where(last, stalled, s2.stalled),
+            # idempotent across waves of one iteration (frontier_size is
+            # iteration-constant; the last wave's tree_size is the final one)
+            m_frontier_size=s2.m_frontier_size.at[it].set(frontier_size),
+            m_tree_size=s2.m_tree_size.at[it].set(s2.tree_size),
+        )
+        return (s2, jnp.where(last, jnp.int32(0), w2), fl0, ts0, n_tgt,
+                r1_score, r1_thr, r2_seen)
+
+    zero = jnp.zeros((), jnp.int32)
+    init = (s0, zero, zero, zero, zero, s0.r1_score, s0.r1_threshold,
+            s0.r2_avail)
+    return jax.lax.while_loop(cond, body, init)[0]
 
 
 def kgmt_solve(cfg: KGMTConfig, system, grid: RegionGrid, init: Array,

@@ -389,3 +389,45 @@ def test_adaptive_waves_full_fanout():
             <= base.fanout * adaptive.metrics["frontier_size"]).all()
     # the wider search grows the tree at least as fast
     assert adaptive.tree_size >= capped.tree_size
+
+
+def test_flat_run_matches_nested_iteration_steps(small_config, demo_scenario,
+                                                 tmp_path):
+    """kgmt_run's flat (iteration x wave) while_loop (r4 restructure) must
+    reproduce the nested kgmt_iteration driver BITWISE: plan() (flat) vs
+    plan_recorded() (host-stepped nested iterations, same termination
+    tests) on the same seed — identical cost, tree size, iteration count,
+    and path samples."""
+    planner = KGMT(small_config)
+    flat = planner.plan(demo_scenario, seed=11)
+    nested = planner.plan_recorded(demo_scenario, str(tmp_path), seed=11,
+                                   dump_every=10**9)
+    assert flat.solved == nested.solved
+    assert flat.cost == nested.cost
+    assert flat.iterations == nested.iterations
+    assert flat.tree_size == nested.tree_size
+    np.testing.assert_array_equal(flat.path, nested.path)
+    np.testing.assert_array_equal(flat.path_nodes, nested.path_nodes)
+    np.testing.assert_array_equal(
+        np.asarray(flat.state.tree_samples), np.asarray(nested.state.tree_samples))
+    np.testing.assert_array_equal(
+        np.asarray(flat.state.r1_score), np.asarray(nested.state.r1_score))
+
+
+def test_flat_run_matches_nested_adaptive_multiwave(demo_scenario, tmp_path):
+    """Same equivalence with a config whose frontiers NEED multiple
+    sub-waves per iteration (small R, adaptive on) — exercising the flat
+    loop's mid-iteration wave bookkeeping."""
+    cfg = KGMTConfig(num_iterations=60, max_tree_size=8192,
+                     rollouts_per_iter=256, adaptive_waves=True, seed=0)
+    planner = KGMT(cfg)
+    flat = planner.plan(demo_scenario, seed=5)
+    nested = planner.plan_recorded(demo_scenario, str(tmp_path), seed=5,
+                                   dump_every=10**9)
+    assert flat.solved == nested.solved
+    assert flat.cost == nested.cost
+    assert flat.iterations == nested.iterations
+    assert flat.tree_size == nested.tree_size
+    np.testing.assert_array_equal(
+        np.asarray(flat.state.tree_samples),
+        np.asarray(nested.state.tree_samples))

@@ -358,8 +358,15 @@ class StreamingMCSummary:
 class StreamingMonteCarloPlanner:
     """Host-facing streaming sweep. ``pool`` is the number of resident slots
     (compute width); ``cfg.num_iterations`` is the per-scenario wave budget;
-    ``cfg.rollouts_per_iter`` the wave width. ``mesh`` shards the pool axis
-    (pure data parallelism — slots never communicate)."""
+    ``cfg.rollouts_per_iter`` the wave width.
+
+    Deployment model: one pool PER CHIP — slots never communicate, so the
+    multi-chip/multi-host form is N independent pools over disjoint
+    scenario-id ranges (the id-keyed generator makes any partition
+    reproducible), exactly like the static Monte-Carlo sweep's scenario
+    axis. ``mesh`` only pins replicated output sharding for multi-host
+    callers that want every process to hold the full result arrays; it
+    does not shard the pool."""
 
     def __init__(self, config: KGMTConfig | None = None, pool: int = 1024,
                  mesh: Mesh | None = None, system=None):

@@ -109,13 +109,57 @@ def check_arena_end_to_end() -> dict:
             "bitwise": costs_eq and paths_eq and lens_eq}
 
 
+def check_windowed_cull() -> dict:
+    """cull=0 vs cull=1/2/4 on the REAL chip (Mosaic lowering, not the
+    interpret mode the CPU tests use): (x1, valid) must agree bitwise on a
+    randomized dense field with Z-order-grouped lanes."""
+    from cudasbmp_tpu.ops.rollout_pallas import rollout_pallas
+    from cudasbmp_tpu.systems.registry import get_system
+
+    rng = np.random.default_rng(7)
+    system = get_system("bicycle")
+    K = 24
+    lo = rng.uniform(0, 18, (K, 2))
+    obs = np.concatenate([lo, lo + rng.uniform(0.3, 3.0, (K, 2))],
+                         axis=1).astype(np.float32)
+    B = 8192
+    x0 = np.zeros((B, 4), np.float32)
+    x0[:, 0] = rng.uniform(0.5, 19.5, B)
+    x0[:, 1] = rng.uniform(0.5, 19.5, B)
+    x0[:, 2] = rng.uniform(-3, 3, B)
+    x0[:, 3] = rng.uniform(-2, 2, B)
+    x0 = x0[np.lexsort((x0[:, 1] // 1.25, x0[:, 0] // 1.25))]
+    controls = np.stack([rng.uniform(-5, 5, B), rng.uniform(-3.14, 3.14, B),
+                         rng.uniform(0.05, 1.05, B)], axis=1).astype(
+        np.float32)
+    base = jax.device_get(rollout_pallas(
+        system, jnp.asarray(x0), jnp.asarray(controls), jnp.asarray(obs),
+        num_disc=10, width=20.0, height=20.0, cull=0))
+    ok = True
+    diffs = {}
+    for w in (1, 2, 4):
+        got = jax.device_get(rollout_pallas(
+            system, jnp.asarray(x0), jnp.asarray(controls), jnp.asarray(obs),
+            num_disc=10, width=20.0, height=20.0, cull=w))
+        same = bool((got[0] == base[0]).all() and (got[1] == base[1]).all())
+        diffs[f"cull{w}"] = same
+        ok = ok and same
+    return {"check": "windowed_cull_vs_onepass_tpu", "bitwise": ok,
+            "per_window": diffs}
+
+
 def main() -> int:
     platform = jax.devices()[0].platform
-    results = [check_permute_rows(), check_score_lookup(),
-               check_arena_end_to_end()]
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    checks = {"permute": check_permute_rows, "lookup": check_score_lookup,
+              "arena": check_arena_end_to_end, "cull": check_windowed_cull}
+    results = [fn() for name, fn in checks.items()
+               if only is None or only == name]
     out = {"platform": platform, "results": results,
            "all_bitwise": all(r["bitwise"] for r in results)}
-    (REPO / ".tpu_parity.json").write_text(json.dumps(out, indent=1))
+    path = REPO / (".tpu_parity.json" if only is None
+                   else f".tpu_parity_{only}.json")
+    path.write_text(json.dumps(out, indent=1))
     print(json.dumps(out, indent=1))
     return 0 if out["all_bitwise"] else 1
 

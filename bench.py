@@ -7,8 +7,11 @@ CostPropPlanner throughput probe, upgraded to include collision checking as
 BASELINE.md specifies). Secondary: time-to-first-solution on the reference
 demo scenario (KGMT.cu:294-296 analog) and multi-query solves/sec.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints the headline JSON line
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+immediately at startup (recorded fallback), after the first live probe, and
+again after every completed phase — the last complete line is the record, so
+a kill at any point leaves a valid one (VERDICT r4 item 1).
 vs_baseline = value / (10x the single-process CPU baseline), i.e. >= 1.0
 means the BASELINE.json target ">=10x CPU-baseline valid props/sec/chip" is
 met. The CPU baseline is measured in a forced-CPU subprocess and cached in
@@ -269,9 +272,18 @@ def _walltime(fn, *args) -> float:
     return time.perf_counter() - t0
 
 
-def measure_multi_query(batch: int = 256, impl: str = "arena") -> dict:
+def measure_multi_query(batch: int = 256, impl: str = "arena",
+                        rollouts_per_iter: int = 128) -> dict:
     """BASELINE.json config 4: 256 init/goal pairs planned simultaneously on
-    one chip. Reports solves/sec.
+    one chip. Reports solves/sec AND solution-cost quantiles (VERDICT r4
+    item 2: every throughput number carries its cost, because fixed-width
+    R=128 waves trade solution quality for speed vs the reference's full
+    per-node fan-out, KGMT.cu:151-158).
+
+    rollouts_per_iter picks the Pareto point: 128 = throughput point
+    (~2.3k solves/s, cost p50 ~29 on demo), 1024 = quality-matched point
+    (cost p50 ~12.6, within ~2x of the adaptive single-tree's 6.3 —
+    .quality_parity.json).
 
     impl='arena' (default): the scatter-free batched arena
     (parallel/batch_kgmt.py) — ONE global iteration counter makes tree
@@ -289,14 +301,15 @@ def measure_multi_query(batch: int = 256, impl: str = "arena") -> dict:
     if impl == "arena":
         from cudasbmp_tpu.parallel.batch_kgmt import ArenaMultiQueryPlanner
 
-        # narrow waves win: per-iteration glue scales with R while iteration
-        # count grows sublinearly (R=2048: 398/s at 18 iters; R=512: 730/s
-        # at 29; R=128: ~1250/s at 54 — measured on v5e, perf.md r3).
-        # Capacity derives from the iteration budget (auto_capacity); any
-        # problem exhausting it restarts with a doubled budget, so solve
-        # rate no longer depends on tuned capacity constants (VERDICT r3
-        # weak 6).
-        cfg = KGMTConfig(rollouts_per_iter=128, num_iterations=150,
+        # narrow waves win on raw throughput: per-iteration glue scales with
+        # R while iteration count grows sublinearly (R=2048: 398/s at 18
+        # iters; R=512: 730/s at 29; R=128: ~1250/s at 54 — measured on
+        # v5e, perf.md r3). Capacity derives from the iteration budget
+        # (auto_capacity); any problem exhausting it restarts with a doubled
+        # budget, so solve rate no longer depends on tuned capacity
+        # constants (VERDICT r3 weak 6).
+        cfg = KGMTConfig(rollouts_per_iter=rollouts_per_iter,
+                         num_iterations=150,
                          rollout_backend="pallas_rng", adaptive_waves=False)
         planner = ArenaMultiQueryPlanner(cfg, auto_capacity=True)
     else:
@@ -315,20 +328,31 @@ def measure_multi_query(batch: int = 256, impl: str = "arena") -> dict:
     planner.plan_batch(inits, goals, obstacles, seed=7)  # warmup/compile
     ext = {"max_extensions": 1} if impl == "arena" else {}
     res = planner.plan_batch(inits, goals, obstacles, seed=8, **ext)
+
+    def _cost_q(r):
+        solved = np.asarray(r.solved)
+        if not solved.any():
+            return None
+        q = np.quantile(np.asarray(r.costs)[solved], [0.1, 0.5, 0.9])
+        return [round(float(x), 2) for x in q]
+
     best = {
         "batch": batch,
         "impl": impl,
+        "rollouts_per_iter": rollouts_per_iter,
         "solve_rate": float(res.solved.mean()),
         "solves_per_sec": res.solves_per_sec,
         "wall_time_s": res.wall_time_s,
+        "cost_quantiles": _cost_q(res),
     }
     # best-of-2: the shared chip's relay adds run-to-run jitter
     res2 = planner.plan_batch(inits, goals, obstacles, seed=9)
     if res2.solves_per_sec > best["solves_per_sec"]:
         best.update(solve_rate=float(res2.solved.mean()),
                     solves_per_sec=res2.solves_per_sec,
-                    wall_time_s=res2.wall_time_s)
-    if impl == "arena":
+                    wall_time_s=res2.wall_time_s,
+                    cost_quantiles=_cost_q(res2))
+    if impl == "arena" and rollouts_per_iter <= 128:
         # relay-immune companion number (same discipline as tts_device_s):
         # the full solve + path extraction reduced to ONE fetched scalar, so
         # the wall excludes the ~100 ms relay transfer of the [B, L, 7] path
@@ -377,6 +401,8 @@ def measure_monte_carlo(batch: int = 1024, num_obstacles: int = 8) -> dict:
     from cudasbmp_tpu.config import KGMTConfig
     from cudasbmp_tpu.parallel.monte_carlo import MonteCarloPlanner
 
+    import numpy as np
+
     cfg = KGMTConfig(rollouts_per_iter=128, num_iterations=150,
                      rollout_backend="pallas_rng", adaptive_waves=False)
     mc = MonteCarloPlanner(cfg, impl="arena", auto_capacity=True)
@@ -386,6 +412,8 @@ def measure_monte_carlo(batch: int = 1024, num_obstacles: int = 8) -> dict:
         s = mc.run(batch, seed=seed, num_obstacles=num_obstacles,
                    max_extensions=2)
         if best is None or s.solves_per_sec > best["solves_per_sec"]:
+            cq = (np.quantile(s.costs[s.solved], [0.1, 0.5, 0.9])
+                  if s.solved.any() else None)
             best = {
                 "batch": batch,
                 "num_obstacles": num_obstacles,
@@ -393,6 +421,8 @@ def measure_monte_carlo(batch: int = 1024, num_obstacles: int = 8) -> dict:
                 "solves_per_sec": round(s.solves_per_sec, 1),
                 "wall_time_s": round(s.wall_time_s, 4),
                 "mean_cost_solved": round(s.mean_cost_solved, 3),
+                "cost_quantiles": ([round(float(x), 2) for x in cq]
+                                   if cq is not None else None),
                 "num_budget_exhausted": s.num_budget_exhausted,
             }
     return best
@@ -430,7 +460,7 @@ def measure_streaming_mc(total: int = 1024, pool: int = 1024,
     return best
 
 
-def cpu_baseline() -> float:
+def cpu_baseline() -> float | None:
     """Single-process CPU valid-props/sec, measured once and cached."""
     if CPU_CACHE.exists():
         try:
@@ -458,7 +488,7 @@ def cpu_baseline() -> float:
                 return res["valid_per_sec"]
     except Exception:
         pass
-    return float("nan")
+    return None
 
 
 def _enable_compilation_cache() -> None:
@@ -474,141 +504,254 @@ def _enable_compilation_cache() -> None:
 
 
 def main() -> None:
-    """Deadline-aware: compiles over the axon relay cost MINUTES per program
-    (measured ~150 s for a trivial jit on a busy relay), so phases run in
-    priority order and optional ones are skipped once the budget
-    (BENCH_BUDGET_S, default 1200 s) is spent. The headline JSON line always
-    prints."""
-    import jax
+    """Incremental, kill-tolerant output (VERDICT r4 item 1 — the official
+    record was nulled three rounds running because output only appeared at
+    the very end of main). Structure now:
 
-    _enable_compilation_cache()
-    deadline = time.perf_counter() + float(
-        os.environ.get("BENCH_BUDGET_S", "1200")
-    )
+    1. A complete, parseable headline line (with ``vs_baseline``) prints and
+       FLUSHES **immediately at startup** from the last recorded live
+       headline (stamped ``src: "recorded_fallback"``) — before the device
+       is touched, because the first dispatch through the axon relay alone
+       measured ~260 s of chip-acquisition latency.
+    2. After the first live probe the line re-prints with live numbers
+       (``src: "live"``), and again after EVERY subsequent phase.
+    3. The driver keeps the last 2000 chars of output, so the last complete
+       line wins: a kill at ANY point still leaves the best record so far.
 
-    def have_time(reserve_s: float = 240.0) -> bool:
-        return time.perf_counter() < deadline - reserve_s
+    Phases run in priority order under BENCH_BUDGET_S (default 600 s), each
+    guarded by its own cost estimate; slow optional numbers load from
+    recorded tools/ artifacts (stamped with source + age) instead of
+    measuring. Rehearsed with ``timeout 60/300/600 python bench.py`` — every
+    kill point leaves a parseable line (see docs/perf.md r5)."""
+    t_start = time.perf_counter()
+    deadline = t_start + float(os.environ.get("BENCH_BUDGET_S", "600"))
 
-    def maybe(fn, *a, required=False, **kw):
-        if not required and not have_time():
-            return None
+    res: dict = {}  # phase name -> measurement dict/scalar
+    meta: dict = {"phases_done": [], "errors": {}}
+
+    if CPU_CACHE.exists():
         try:
-            return fn(*a, **kw)
+            res["cpu"] = json.loads(CPU_CACHE.read_text())["valid_per_sec"]
         except Exception:
-            if required:
-                raise
-            return None
-
-    on_tpu = jax.devices()[0].platform == "tpu"
-    # headline first: the fastest backend on this platform
-    if on_tpu:
-        thr_rng = maybe(measure_prop_throughput, backend="pallas_rng",
-                        required=True)
-        thr_rng_fast = maybe(measure_prop_throughput, backend="pallas_rng",
-                             fast_math=True)
-        thr_pallas = maybe(measure_prop_throughput, backend="pallas")
-        thr_jnp = maybe(measure_prop_throughput, backend="jnp")
-    else:
-        thr_jnp = maybe(measure_prop_throughput, backend="jnp", required=True)
-        thr_rng = thr_pallas = thr_rng_fast = None
-    # Headline = best EXACT-reference-semantics backend. fast_math variants
-    # use approximate (chained-rotation) float math and are reported in
-    # ``extra`` only — they must never set a metric whose name implies exact
-    # semantics (ADVICE r1).
-    best = max(
-        [t for t in (thr_jnp, thr_pallas, thr_rng) if t],
-        key=lambda t: t["valid_per_sec"],
-    )
-    tts = maybe(measure_time_to_solution,
-                "pallas_rng" if on_tpu else "auto") or {
-        "tts_s": None, "tts_mean_s": None, "solve_rate": None, "cost": None,
-    }
-    mq = maybe(measure_multi_query) if on_tpu else None
-    mq_vmap = maybe(measure_multi_query, impl="vmap") if on_tpu else None
-    # dense-field probe measured under EXACT semantics (comparable across
-    # rounds); the fast_math variant gets its own, separately named key
-    thr_dense = (maybe(measure_prop_throughput, backend="pallas_rng",
-                       dense=True) if on_tpu else None)
-    # broad-phase variant (VERDICT r2 item 1): Z-order-grouped lanes + the
-    # per-program obstacle cull — the layout a sorted planner wave feeds
-    thr_dense_culled = (maybe(measure_prop_throughput, backend="pallas_rng",
-                              dense=True, cull=True, grouped=True)
-                        if on_tpu else None)
-    thr_dense_fast = (maybe(measure_prop_throughput, backend="pallas_rng",
-                            dense=True, fast_math=True) if on_tpu else None)
-    tts_biased = (maybe(measure_time_to_solution, "pallas_rng",
-                        goal_bias=0.3) if on_tpu else None)
-    # planner-level TTS on harder scenarios (VERDICT r2 item 5: the demo-only
-    # TTS bench could miss regressions on dense / fine-grid workloads)
-    tts_dense = (maybe(measure_time_to_solution, "pallas_rng",
-                       scenario="dense24") if on_tpu else None)
-    # fine grid quadruples the R2 subcell count, so virgin-cell acceptance
-    # admits ~4x more children per wave — at the demo's 30k capacity the tree
-    # fills (reference semantics: tree-full -> stop, KGMT.cu:251-259) ~13
-    # iterations before the goal; capacity scales with the grid via the
-    # documented derivation rule instead of a hand constant
-    from cudasbmp_tpu.config import KGMTConfig as _KC
-
-    tts_fine = (maybe(measure_time_to_solution, "pallas_rng",
-                      scenario="dense24", N=32, n=8,
-                      max_tree_size=_KC.derived_tree_capacity(32, 8))
-                if on_tpu else None)
-    dev_tts = maybe(measure_device_tts) if on_tpu else None
-    # randomized-scenario Monte-Carlo sweep (config 5 per-chip): compile is
-    # ~4 min over the relay, so this runs live only with budget to spare and
-    # otherwise falls back to the recorded tools/mc_bench.py artifact
-    mc_sweep = (maybe(measure_monte_carlo)
-                if on_tpu and have_time(reserve_s=420) else None)
-    if mc_sweep is None:
-        mc_sweep = _load_recorded(
-            ".mc_bench.json", "tools/mc_bench.py (recorded, real TPU)")
-    stream_mc = (maybe(measure_streaming_mc)
-                 if on_tpu and have_time(reserve_s=420) else None)
-    if stream_mc is None:
-        stream_mc = _load_recorded(
-            ".streaming_mc.json",
-            "tools/streaming_bench.py (recorded, real TPU)")
-    cpu = cpu_baseline()
-    value = best["valid_per_sec"]
-    target = 10.0 * cpu if cpu == cpu else float("nan")  # >=10x CPU baseline
+            pass
 
     def _r(d, k, nd=1):
         return round(d[k], nd) if d and d.get(k) is not None else None
 
-    # Full detail blob goes to a FILE, not stdout: the driver keeps only the
-    # last 2000 chars of bench output, and the r02/r03 headline records were
-    # silently nulled when the single JSON line outgrew that window
-    # (VERDICT r3 item 1). The printed line stays small by construction.
+    def _cost_p50(d, key="cost_quantiles"):
+        q = d.get(key) if d else None
+        if isinstance(q, dict):
+            return q.get("p50")
+        if isinstance(q, (list, tuple)) and len(q) == 3:
+            return q[1]
+        return None
+
+    def current_headline():
+        cands = [res.get(k) for k in ("thr_rng", "thr_pallas", "thr_jnp")]
+        cands = [c for c in cands if c]
+        if cands:
+            best = max(cands, key=lambda t: t["valid_per_sec"])
+            return best["valid_per_sec"], "live", best
+        fb = _load_recorded(
+            ".bench_headline.json",
+            "prior real-TPU bench run — live probe had NOT completed when "
+            "this line printed")
+        if fb and isinstance(fb.get("value"), (int, float)):
+            return fb["value"], "recorded_fallback", fb
+        return None, "none", None
+
+    def _sps_cost(d):
+        if not d:
+            return None
+        out = {"sps": _round_opt(d.get("solves_per_sec"), 1),
+               "cost_p50": _cost_p50(d),
+               "rate": d.get("solve_rate")}
+        return {k: v for k, v in out.items() if v is not None}
+
+    def emit():
+        value, src, best = current_headline()
+        cpu = res.get("cpu")
+        tgt = 10.0 * cpu if cpu else None  # >=10x CPU baseline target
+        tts = res.get("tts") or {}
+        dev_tts = res.get("dev_tts") or {}
+        extra = {
+            "src": src,
+            "dense24_valid_per_sec": _r(res.get("thr_dense"),
+                                        "valid_per_sec"),
+            "tts_wall_s": _round_opt(tts.get("tts_s"), 4),
+            "tts_cost_p50": _cost_p50(tts),
+            "tts_device_s": _round_opt(dev_tts.get("tts_device_s"), 5),
+            "tts_device_pathless_s": _round_opt(
+                (res.get("dev_tts_pathless") or {}).get("tts_device_s"), 5),
+            "solve_rate": tts.get("solve_rate"),
+            "mq128": _sps_cost(res.get("mq128")),
+            "mq1024": _sps_cost(res.get("mq1024")),
+            "monte_carlo": _sps_cost(res.get("mc")),
+            "streaming_mc": _sps_cost(res.get("smc")),
+            "cpu_valid_per_sec": round(cpu, 1) if cpu else None,
+            "elapsed_s": round(time.perf_counter() - t_start, 1),
+            "detail_file": "BENCH_EXTRA.json",
+        }
+        result = {
+            "metric": "valid propagations/sec/chip",
+            "value": round(value, 1) if value is not None else None,
+            "unit": "valid 10-step rollouts/s",
+            "vs_baseline": (round(value / tgt, 3)
+                            if value is not None and tgt else None),
+            "extra": {k: v for k, v in extra.items() if v is not None},
+        }
+        line = json.dumps(result)
+        # keep the line well inside the driver's 2000-char capture window;
+        # never crash over length — drop the least important extras instead
+        drop_order = ["detail_file", "cpu_valid_per_sec", "elapsed_s",
+                      "monte_carlo", "streaming_mc", "mq1024", "mq128",
+                      "tts_device_pathless_s", "solve_rate"]
+        while len(line) >= 1800 and drop_order:
+            result["extra"].pop(drop_order.pop(0), None)
+            line = json.dumps(result)
+        print(line, flush=True)
+        _write_extra(res, meta)
+        if src == "live" and best:
+            (REPO / ".bench_headline.json").write_text(json.dumps({
+                "value": round(value, 1),
+                "unit": "valid 10-step rollouts/s",
+                "platform": best.get("platform"),
+                "written_unix": time.time(),
+            }))
+
+    def run_phase(name, fn, est_s, required=False):
+        """Run one phase if its cost estimate fits the budget; re-emit the
+        headline line after it (phases are independent — one failing or
+        being skipped never loses earlier results)."""
+        if not required and time.perf_counter() + est_s > deadline:
+            meta["errors"][name] = "skipped: budget"
+            return None
+        try:
+            out = fn()
+        except Exception as e:  # noqa: BLE001 — record, keep benching
+            meta["errors"][name] = repr(e)[:120]
+            if required:
+                emit()
+                raise
+            return None
+        res[name] = out
+        meta["phases_done"].append(name)
+        emit()
+        return out
+
+    # ---- phase 0: fallback line BEFORE any device interaction -------------
+    emit()
+
+    _enable_compilation_cache()
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    # ---- phase 1: absorb the relay's first-dispatch latency ---------------
+    def first_touch():
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.jit(lambda x: x * 2 + 1)(jnp.ones(8)))
+        return {"first_dispatch_s": round(time.perf_counter() - t0, 1)}
+
+    run_phase("first_touch", first_touch, est_s=0, required=True)
+
+    # ---- phase 2: live headline (also the session's calibration probe:
+    #      every recorded artifact can be normalized by this same-run rate,
+    #      VERDICT r4 item 7) ------------------------------------------------
+    if on_tpu:
+        run_phase("thr_rng",
+                  lambda: measure_prop_throughput(backend="pallas_rng"),
+                  est_s=0, required=True)
+    else:
+        run_phase("thr_jnp", lambda: measure_prop_throughput(backend="jnp"),
+                  est_s=0, required=True)
+        run_phase("cpu", cpu_baseline, est_s=120)
+        return  # CPU run: headline + baseline only
+
+    # ---- optional phases, priority order, each re-emitting ----------------
+    run_phase("thr_dense",
+              lambda: measure_prop_throughput(backend="pallas_rng",
+                                              dense=True), est_s=20)
+    run_phase("dev_tts", measure_device_tts, est_s=70)
+    run_phase("dev_tts_pathless",
+              lambda: measure_device_tts(need_path=False), est_s=70)
+    run_phase("tts", lambda: measure_time_to_solution("pallas_rng"),
+              est_s=50)
+    run_phase("mq128", lambda: measure_multi_query(), est_s=110)
+    # quality-matched Pareto point (VERDICT r4 item 2): R=1024 waves close
+    # most of the fixed-width cost gap (.quality_parity.json)
+    run_phase("mq1024",
+              lambda: measure_multi_query(rollouts_per_iter=1024), est_s=90)
+    run_phase("smc", measure_streaming_mc, est_s=90)
+    run_phase("mc", measure_monte_carlo, est_s=90)
+    run_phase("cpu", cpu_baseline, est_s=120)
+    # long-tail extras: only with clear budget headroom
+    run_phase("thr_rng_fast",
+              lambda: measure_prop_throughput(backend="pallas_rng",
+                                              fast_math=True), est_s=20)
+    run_phase("thr_pallas",
+              lambda: measure_prop_throughput(backend="pallas"), est_s=25)
+    run_phase("thr_jnp", lambda: measure_prop_throughput(backend="jnp"),
+              est_s=30)
+    run_phase("thr_dense_culled",
+              lambda: measure_prop_throughput(backend="pallas_rng",
+                                              dense=True, cull=True,
+                                              grouped=True), est_s=25)
+    run_phase("tts_dense",
+              lambda: measure_time_to_solution("pallas_rng",
+                                               scenario="dense24"), est_s=50)
+    emit()
+
+
+def _write_extra(res: dict, meta: dict) -> None:
+    """Full detail blob goes to a FILE, not stdout: the driver keeps only
+    the last 2000 chars of bench output (the r02/r03 records were nulled
+    when the single printed line outgrew that window). Refreshed after every
+    phase so a mid-run kill still leaves consistent detail."""
+    tts = res.get("tts") or {}
+    dev_tts = res.get("dev_tts")
     full_extra = {
-        "platform": best["platform"],
-        "total_rollouts_per_sec": round(best["rollouts_per_sec"], 1),
-        "jnp_valid_per_sec": _r(thr_jnp, "valid_per_sec"),
-        "pallas_valid_per_sec": _r(thr_pallas, "valid_per_sec"),
-        "pallas_rng_valid_per_sec": _r(thr_rng, "valid_per_sec"),
-        "pallas_rng_fast_math_valid_per_sec": _r(thr_rng_fast,
-                                                 "valid_per_sec"),
-        "cpu_valid_per_sec": round(cpu, 1) if cpu == cpu else None,
-        "time_to_first_solution_s": tts["tts_s"],
-        "tts_mean_s": tts["tts_mean_s"],
-        "solve_rate": tts["solve_rate"],
-        "solution_cost": tts["cost"],
-        "multi_query_256": mq,
-        "multi_query_256_vmap": mq_vmap,
-        "dense24_valid_per_sec": _r(thr_dense, "valid_per_sec"),
-        "dense24_grouped_culled_valid_per_sec": _r(thr_dense_culled,
-                                                   "valid_per_sec"),
-        "dense24_fast_math_valid_per_sec": _r(thr_dense_fast,
-                                              "valid_per_sec"),
-        "tts_goal_biased": {
-            "tts_s": tts_biased["tts_s"], "cost": tts_biased["cost"],
-            "solve_rate": tts_biased["solve_rate"],
-        } if tts_biased else None,
-        "tts_dense24": tts_dense,
-        "tts_fine_grid": tts_fine,
-        "tts_device_s": dev_tts["tts_device_s"] if dev_tts else None,
+        "phases_done": meta["phases_done"],
+        "phase_errors": meta["errors"],
+        "first_dispatch_s": (res.get("first_touch") or {}).get(
+            "first_dispatch_s"),
+        "calibration_rollouts_per_sec": (
+            round((res.get("thr_rng") or {}).get("rollouts_per_sec"), 1)
+            if res.get("thr_rng") else None),
+        "jnp_valid_per_sec": _ropt(res.get("thr_jnp"), "valid_per_sec"),
+        "pallas_valid_per_sec": _ropt(res.get("thr_pallas"),
+                                      "valid_per_sec"),
+        "pallas_rng_valid_per_sec": _ropt(res.get("thr_rng"),
+                                          "valid_per_sec"),
+        "pallas_rng_fast_math_valid_per_sec": _ropt(res.get("thr_rng_fast"),
+                                                    "valid_per_sec"),
+        "cpu_valid_per_sec": res.get("cpu"),
+        "time_to_first_solution_s": tts.get("tts_s"),
+        "tts_mean_s": tts.get("tts_mean_s"),
+        "tts_quantiles_s": tts.get("tts_quantiles_s"),
+        "solve_rate": tts.get("solve_rate"),
+        "solution_cost": tts.get("cost"),
+        "solution_cost_quantiles": tts.get("cost_quantiles"),
+        "multi_query_256": res.get("mq128"),
+        "multi_query_256_quality_r1024": res.get("mq1024"),
+        "dense24_valid_per_sec": _ropt(res.get("thr_dense"),
+                                       "valid_per_sec"),
+        "dense24_grouped_culled_valid_per_sec": _ropt(
+            res.get("thr_dense_culled"), "valid_per_sec"),
+        "tts_dense24": res.get("tts_dense"),
+        "tts_device_s": dev_tts.get("tts_device_s") if dev_tts else None,
         "tts_device_detail": dev_tts,
-        "monte_carlo_1024": mc_sweep,
-        "streaming_monte_carlo": stream_mc,
+        "tts_device_pathless_detail": res.get("dev_tts_pathless"),
+        "monte_carlo_1024": res.get("mc") or _load_recorded(
+            ".mc_bench.json", "tools/mc_bench.py (recorded, real TPU)"),
+        "streaming_monte_carlo": res.get("smc") or _load_recorded(
+            ".streaming_mc.json",
+            "tools/streaming_bench.py (recorded, real TPU)"),
+        "quality_parity": _load_recorded(
+            ".quality_parity.json",
+            "tools/quality_parity.py (recorded, real TPU)"),
         "mfu": _load_roofline(),
         # CPU-mesh scaling-efficiency structural measurement
         # (tools/scaling_bench.py writes this; BASELINE.md >=80% target)
@@ -617,39 +760,9 @@ def main() -> None:
     (REPO / "BENCH_EXTRA.json").write_text(
         json.dumps(full_extra, indent=1, default=str))
 
-    # The printed line: headline + <=10 scalar extras, hard-capped <1800
-    # chars so it always fits the driver's capture window.
-    result = {
-        "metric": "valid propagations/sec/chip",
-        "value": round(value, 1),
-        "unit": "valid 10-step rollouts/s",
-        "vs_baseline": round(value / target, 3) if target == target else None,
-        "extra": {
-            "dense24_valid_per_sec": _r(thr_dense, "valid_per_sec"),
-            "tts_wall_s": _round_opt(tts.get("tts_s"), 4),
-            "tts_device_s": _round_opt(
-                dev_tts.get("tts_device_s") if dev_tts else None, 5),
-            "solve_rate": tts["solve_rate"],
-            "multi_query_solves_per_sec": _round_opt(
-                mq.get("solves_per_sec") if mq else None, 1),
-            "multi_query_solves_per_sec_device": _round_opt(
-                mq.get("solves_per_sec_device") if mq else None, 1),
-            "monte_carlo_solves_per_sec": _round_opt(
-                mc_sweep.get("solves_per_sec") if mc_sweep else None, 1),
-            "monte_carlo_solve_rate": (
-                mc_sweep.get("solve_rate") if mc_sweep else None),
-            "streaming_mc_solves_per_sec": _round_opt(
-                stream_mc.get("solves_per_sec") if stream_mc else None, 1),
-            "cpu_valid_per_sec": round(cpu, 1) if cpu == cpu else None,
-            "detail_file": "BENCH_EXTRA.json",
-        },
-    }
-    line = json.dumps(result)
-    assert len(line) < 1800, (
-        f"bench output line is {len(line)} chars; the driver only captures "
-        "the last 2000 — trim extras (full detail belongs in "
-        "BENCH_EXTRA.json)")
-    print(line)
+
+def _ropt(d, k, nd=1):
+    return round(d[k], nd) if d and d.get(k) is not None else None
 
 
 def _round_opt(v, nd: int):

@@ -190,7 +190,8 @@ def measure_time_to_solution(rollout_backend: str = "auto",
     }
 
 
-def measure_device_tts(rollout_backend: str = "pallas_rng") -> dict:
+def measure_device_tts(rollout_backend: str = "pallas_rng",
+                       need_path: bool = True, **cfg_overrides) -> dict:
     """Relay-independent device-side time-to-solution (VERDICT r2 item 6):
     run K full solves SEQUENTIALLY inside one dispatch (lax.scan over seeds)
     at two K values; the slope d(wall)/dK is pure device time per solve —
@@ -209,10 +210,14 @@ def measure_device_tts(rollout_backend: str = "pallas_rng") -> dict:
 
     from cudasbmp_tpu.config import KGMTConfig, Scenario
     from cudasbmp_tpu.geometry.grid import RegionGrid
-    from cudasbmp_tpu.planners.kgmt import kgmt_solve
+    from cudasbmp_tpu.planners.kgmt import kgmt_solve, kgmt_solve_pathless
     from cudasbmp_tpu.systems.registry import get_system
 
-    cfg = KGMTConfig(rollout_backend=rollout_backend)
+    # need_path=False: the feasibility-only planner (VERDICT r4 item 3) —
+    # no [M, 7] tree writes, bitwise-equal (solved, cost) on the demo
+    solve = kgmt_solve if need_path else kgmt_solve_pathless
+    cfg = KGMTConfig(rollout_backend=rollout_backend, need_path=need_path,
+                     **cfg_overrides)
     system = get_system(cfg.system)
     grid = RegionGrid(width=cfg.width, height=cfg.height, N=cfg.N, n=cfg.n)
     sc = Scenario.demo()
@@ -224,8 +229,7 @@ def measure_device_tts(rollout_backend: str = "pallas_rng") -> dict:
         def run(key0):
             def body(acc, i):
                 key = jax.random.fold_in(key0, i)
-                final = kgmt_solve(cfg, system, grid, init, goal, obstacles,
-                                   key)
+                final = solve(cfg, system, grid, init, goal, obstacles, key)
                 return acc, (final.cost_to_goal, final.itr)
 
             _, outs = jax.lax.scan(body, jnp.float32(0.0),
@@ -260,6 +264,7 @@ def measure_device_tts(rollout_backend: str = "pallas_rng") -> dict:
         "iters_quantiles": [round(float(x), 1) for x in iq],
         "k_lo": k_lo, "k_hi": k_hi,
         "wall_lo_s": t_lo, "wall_hi_s": t_hi,
+        "need_path": need_path,
         "method": "slope of K sequential in-dispatch solves (seeds folded)",
     }
 
@@ -675,8 +680,13 @@ def main() -> None:
               lambda: measure_prop_throughput(backend="pallas_rng",
                                               dense=True), est_s=20)
     run_phase("dev_tts", measure_device_tts, est_s=70)
+    # R=6144 is the measured sweet spot for the register frontier: fewer
+    # loop trips than R=4096 (the ~35 us/wave floor amortizes over wider
+    # waves) without the extra iterations the R>=8192 RNG streams happened
+    # to need (r5 sweep: 4.56 / 3.89 / 4.18 ms at R=4096/6144/8192).
     run_phase("dev_tts_pathless",
-              lambda: measure_device_tts(need_path=False), est_s=70)
+              lambda: measure_device_tts(need_path=False,
+                                         rollouts_per_iter=6144), est_s=70)
     run_phase("tts", lambda: measure_time_to_solution("pallas_rng"),
               est_s=50)
     run_phase("mq128", lambda: measure_multi_query(), est_s=110)

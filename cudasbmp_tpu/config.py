@@ -122,6 +122,15 @@ class KGMTConfig:
     # accepted can fail exact re-validation there (reported via their
     # 'valid'/acceptance outputs, never silently) — and vice versa.
     fast_math: bool = False
+    # Pathless feasibility mode (beyond-reference; True = full reference
+    # semantics): False answers only (solved?, cost, iterations) — the
+    # frontier is carried in an R-row register buffer and the [M, 7] tree is
+    # never written, removing the commit scatters that dominate device
+    # time-to-solution (~80%, tools/r4_probe7). Results are bitwise
+    # identical to the tree mode while every iteration's accepted children
+    # fit R rows (planners/kgmt.py PathlessState docs); no path extraction,
+    # no plan_recorded, no goal_bias.
+    need_path: bool = True
     # Rollout implementation: 'auto' uses the fused Pallas kernel on TPU for
     # supported systems and the XLA-fused jnp path elsewhere; 'pallas'/'jnp'
     # force one (pallas on CPU runs in interpret mode — tests only);
@@ -153,6 +162,9 @@ class KGMTConfig:
             problems.append("goal_bias_k must be >= 1")
         if self.footprint_width < 0:
             problems.append("footprint_width must be >= 0")
+        if not self.need_path and self.goal_bias > 0:
+            problems.append("need_path=False does not support goal_bias "
+                            "(biased parent selection reads the whole tree)")
         if problems:
             raise ValueError("invalid KGMTConfig: " + "; ".join(problems))
 

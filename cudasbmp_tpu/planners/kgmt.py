@@ -394,31 +394,15 @@ def expansion_wave(cfg: KGMTConfig, system, obstacles: Array, goal: Array,
 
 
 
-def _wave_step(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
-               goal: Array, frontier_lo0, tree_size0, n_target,
-               r1_score: Array, gid_base, pool, carry):
-    """Phases (c) expand, (d) commit, (e) goal — one R-slot sub-wave of one
-    iteration, as a pure ``(w, state, r2_seen) -> (w+1, state, r2_seen)``
-    step over the iteration-start context (frontier range, rollout target,
-    scores, exchange pool). NO collectives in here: in sharded mode the
-    trip count differs per shard (frontier widths differ), so anything
-    collective would deadlock; region stats are psum'd once per iteration
-    in kgmt_iteration phase (a).
-
-    Shared by BOTH drivers: kgmt_iteration's nested wave while_loop (the
-    sharded/recorded path) and kgmt_run's flat (iteration x wave) loop (the
-    unsharded fast path — see kgmt_run for why flat wins)."""
-    M = cfg.max_tree_size
-    R = cfg.rollouts_per_iter
-    frontier_size = tree_size0 - frontier_lo0
-    w, s_in, r2_seen = carry
-
-    with jax.named_scope("kgmt_expand"):
-        (slot_active, parent_gid, parent_cost, x1, controls, valid,
-         samples1, k_accept) = expansion_wave(
-            cfg, system, obstacles, goal, s_in, wave=w,
-            frontier_lo=frontier_lo0, frontier_size=frontier_size,
-            n_target=n_target, pool=pool, gid_base=gid_base)
+def _region_stats_and_accept(cfg: KGMTConfig, grid: RegionGrid, x1: Array,
+                             slot_active: Array, valid: Array,
+                             r1_score: Array, r2_seen: Array,
+                             k_accept: Array):
+    """Region-statistic contraction + acceptance rule for one R-slot wave —
+    shared by the tree-mode ``_wave_step`` and the pathless (need_path=False)
+    driver so the two modes stay bitwise-identical by construction.
+    Returns (d1 [NR1, 2], d2 [NR2, 2], accept [R], r2_seen')."""
+    R = x1.shape[0]
 
     # --- region statistics (atomics -> one-hot MXU contraction) -------
     with jax.named_scope("kgmt_region_stats"):
@@ -480,18 +464,52 @@ def _wave_step(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
         # operands to bf16, which would perturb the looked-up scores
         # (~0.4% relative) and break the bitwise-exactness claim on TPU
         # (ADVICE r3, medium). HIGHEST is exact for f32 (bf16x3
-        # decomposition, f32 accumulate). seen_rows' operands are {0,1}
-        # but it shares the call for uniformity — both are microseconds.
+        # decomposition, f32 accumulate). seen_rows stays on DEFAULT
+        # precision: both its operands are {0, 1}, which bf16 represents
+        # exactly, and the accumulator is f32 — bitwise-equal to HIGHEST
+        # at a third of the MXU passes (r5: the wave is glue-dominated,
+        # tools/r5_probe1).
         score_r = jnp.matmul(
             oh1, r1_score,
             precision=jax.lax.Precision.HIGHEST)  # [R]; 0.0 where r1 < 0
         seen_rows = jnp.matmul(
             oh1, r2_seen.reshape(cfg.num_r1, n2).astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST)
+            preferred_element_type=jnp.float32)
         seen_r = (seen_rows * ohl).sum(axis=-1)
         virgin_r2 = (r2 < 0) | (seen_r == 0)
         accept = valid & ((u <= score_r) | virgin_r2)
     r2_seen = r2_seen | (d2[:, 1] > 0).astype(jnp.int32)
+    return d1, d2, accept, r2_seen
+
+
+def _wave_step(cfg: KGMTConfig, system, grid: RegionGrid, obstacles: Array,
+               goal: Array, frontier_lo0, tree_size0, n_target,
+               r1_score: Array, gid_base, pool, carry):
+    """Phases (c) expand, (d) commit, (e) goal — one R-slot sub-wave of one
+    iteration, as a pure ``(w, state, r2_seen) -> (w+1, state, r2_seen)``
+    step over the iteration-start context (frontier range, rollout target,
+    scores, exchange pool). NO collectives in here: in sharded mode the
+    trip count differs per shard (frontier widths differ), so anything
+    collective would deadlock; region stats are psum'd once per iteration
+    in kgmt_iteration phase (a).
+
+    Shared by BOTH drivers: kgmt_iteration's nested wave while_loop (the
+    sharded/recorded path) and kgmt_run's flat (iteration x wave) loop (the
+    unsharded fast path — see kgmt_run for why flat wins)."""
+    M = cfg.max_tree_size
+    R = cfg.rollouts_per_iter
+    frontier_size = tree_size0 - frontier_lo0
+    w, s_in, r2_seen = carry
+
+    with jax.named_scope("kgmt_expand"):
+        (slot_active, parent_gid, parent_cost, x1, controls, valid,
+         samples1, k_accept) = expansion_wave(
+            cfg, system, obstacles, goal, s_in, wave=w,
+            frontier_lo=frontier_lo0, frontier_size=frontier_size,
+            n_target=n_target, pool=pool, gid_base=gid_base)
+
+    d1, d2, accept, r2_seen = _region_stats_and_accept(
+        cfg, grid, x1, slot_active, valid, r1_score, r2_seen, k_accept)
 
     # --- commit (updateG, KGMT.cu:540-593), correct capacity clamp ----
     with jax.named_scope("kgmt_commit"):
@@ -777,6 +795,223 @@ def kgmt_solve(cfg: KGMTConfig, system, grid: RegionGrid, init: Array,
     return kgmt_run(cfg, system, grid, goal, obstacles, s0)
 
 
+# ---------------------------------------------------------------------------
+# Pathless feasibility mode (need_path=False)
+# ---------------------------------------------------------------------------
+
+
+class PathlessState(NamedTuple):
+    """Feasibility-only planner state (``KGMTConfig.need_path=False``): the
+    frontier lives in a [R, SAMPLE_DIM] buffer and the [M, SAMPLE_DIM] tree
+    is NEVER written — tree-commit scatters are ~80% of tree-mode device TTS
+    (tools/r4_probe7 HLO accounting), and a feasibility query (the
+    reference's own semantics: break at FIRST solution, KGMT.cu:251-254)
+    never reads the tree except to extract the path. Capacity semantics are
+    preserved exactly through a virtual ``tree_size`` counter, so RNG
+    streams, acceptance masks, iteration counts, and the final
+    (solved, cost) are BITWISE identical to the tree mode whenever every
+    iteration's accepted-children count fits the R-row frontier buffer
+    (tests/test_kgmt.py::test_pathless_matches_tree_mode); wider frontiers
+    keep only the FIRST R children in commit order (width caveat — the tree
+    mode keeps them all; demo frontiers peak at ~3.6k < the default
+    R=4096, docs/perf.md r4)."""
+
+    # Frontier rows fused with their cost-from-root in ONE buffer (cols
+    # 0..SAMPLE_DIM-1 = sample, col SAMPLE_DIM = cost): the wave then costs
+    # ONE whole-row gather + ONE whole-row scatter instead of two of each
+    # (tools/r5_probe1: the commit pair was ~42 us of the 137 us wave).
+    f_rows: Array  # f32 [R, SAMPLE_DIM + 1]
+    n_frontier: Array  # i32 scalar — valid rows of f_rows
+    tree_size: Array  # i32 scalar — VIRTUAL (capacity-clamp parity only)
+    # Region statistics: same guidance state as the tree mode, minus the
+    # r2 total/valid/invalid counters (observability-only there — behavior
+    # reads only r2_avail for coverage, virgin-cell acceptance and the
+    # r2_seen snapshot).
+    r1_total: Array
+    r1_valid: Array
+    r1_invalid: Array
+    r1_avail: Array
+    r1_score: Array
+    r2_avail: Array
+    r1_threshold: Array
+    cost_to_goal: Array  # f32 scalar, +inf until solved
+    itr: Array
+    key: Array
+    stalled: Array
+    m_frontier_size: Array
+    m_valid: Array
+    m_accepted: Array
+    m_tree_size: Array
+
+
+def init_pathless_state(cfg: KGMTConfig, grid: RegionGrid, init: Array,
+                        key: Array) -> PathlessState:
+    """Root seeding, mirroring ``init_state`` (KGMT.cu:85-97) with the root
+    sample in frontier row 0 instead of tree slot 0."""
+    R = cfg.rollouts_per_iter
+    r1_0, r2_0 = grid.region_indices(init[0:2][None, :])
+    r1_0, r2_0 = r1_0[0], r2_0[0]
+    one = (r1_0 >= 0).astype(jnp.int32)
+    one_r2 = (r2_0 >= 0).astype(jnp.int32)
+    r1_0 = jnp.maximum(r1_0, 0)
+    r2_0 = jnp.maximum(r2_0, 0)
+    zeros_r1 = jnp.zeros(cfg.num_r1, jnp.int32)
+    it = max(cfg.num_iterations, 1)
+    return PathlessState(
+        f_rows=jnp.zeros((R, SAMPLE_DIM + 1), jnp.float32).at[0, :SAMPLE_DIM]
+        .set(init),
+        n_frontier=jnp.ones((), jnp.int32),
+        tree_size=jnp.ones((), jnp.int32),
+        r1_total=zeros_r1.at[r1_0].set(one),
+        r1_valid=zeros_r1.at[r1_0].set(one),
+        r1_invalid=zeros_r1,
+        r1_avail=zeros_r1.at[r1_0].set(one),
+        r1_score=jnp.ones(cfg.num_r1, jnp.float32),
+        r2_avail=jnp.zeros(cfg.num_r2, jnp.int32).at[r2_0].set(one_r2),
+        r1_threshold=jnp.zeros((), jnp.float32),
+        cost_to_goal=jnp.array(jnp.inf, jnp.float32),
+        itr=jnp.zeros((), jnp.int32),
+        key=key,
+        stalled=jnp.zeros((), bool),
+        m_frontier_size=jnp.zeros(it, jnp.int32),
+        m_valid=jnp.zeros(it, jnp.int32),
+        m_accepted=jnp.zeros(it, jnp.int32),
+        m_tree_size=jnp.zeros(it, jnp.int32),
+    )
+
+
+def kgmt_run_pathless(cfg: KGMTConfig, system, grid: RegionGrid, goal: Array,
+                      obstacles: Array, s0: PathlessState) -> PathlessState:
+    """The flat (iteration x wave) while_loop of ``kgmt_run`` with the tree
+    commit replaced by an R-row next-frontier buffer write: phases (a)-(e)
+    of the reference loop (KGMT.cu:118-292) minus path storage. RNG
+    derivation, parent round-robin order, acceptance, capacity clamping and
+    termination all mirror the tree driver step for step (the stats/accept
+    block is literally the same function), which is what makes the
+    equivalence test bitwise rather than statistical."""
+    M = cfg.max_tree_size
+    R = cfg.rollouts_per_iter
+    if cfg.goal_bias > 0.0:
+        raise ValueError("need_path=False does not support goal_bias: "
+                         "biased parent selection needs the whole tree")
+
+    def outer_keep(s: PathlessState) -> Array:
+        solved = (jnp.isfinite(s.cost_to_goal)
+                  if cfg.stop_on_first_solution else jnp.zeros((), bool))
+        full = s.tree_size >= M
+        dead = jnp.zeros((), bool) if cfg.keep_frontier_on_stall else s.stalled
+        return (s.itr < cfg.num_iterations) & ~solved & ~full & ~dead
+
+    def cond(c) -> Array:
+        s, w = c[0], c[1]
+        return (w > 0) | outer_keep(s)
+
+    def body(c):
+        s, w, n_tgt, r1_score, r1_thr, r2_seen, nxt_rows, n_next = c
+        is0 = w == 0
+        with jax.named_scope("kgmt_scores"):
+            f_score, f_thr = update_region_scores(cfg, s)
+        r1_score = jnp.where(is0, f_score, r1_score)
+        r1_thr = jnp.where(is0, f_thr, r1_thr)
+        n_frontier = s.n_frontier
+        fresh_tgt = jnp.minimum(cfg.fanout * n_frontier, M - s.tree_size)
+        if not cfg.adaptive_waves:
+            fresh_tgt = jnp.minimum(fresh_tgt, R)
+        n_tgt = jnp.where(is0, fresh_tgt, n_tgt)
+        r2_seen = jnp.where(is0, s.r2_avail, r2_seen)
+        n_next = jnp.where(is0, jnp.int32(0), n_next)
+        n_waves = ((n_tgt + R - 1) // R if cfg.adaptive_waves
+                   else jnp.minimum(n_tgt, jnp.int32(1)))
+        it = s.itr
+
+        # --- expansion: parents round-robin over the register frontier ----
+        with jax.named_scope("kgmt_expand"):
+            slot = jnp.arange(R, dtype=jnp.int32)
+            gslot = w * R + slot
+            slot_active = gslot < n_tgt
+            parent_idx = gslot % jnp.maximum(n_frontier, 1)
+            parent_rows = s.f_rows[parent_idx]  # one fused whole-row gather
+            parent_cost = parent_rows[:, SAMPLE_DIM]
+            x0 = parent_rows[:, : system.state_dim]
+            key_iter = jax.random.fold_in(s.key, it)
+            key_wave = jax.lax.cond(
+                w == 0, lambda: key_iter,
+                lambda: jax.random.fold_in(key_iter, w))
+            k_ctrl, k_accept = jax.random.split(key_wave)
+            x1, controls, valid = _expand_rollout(cfg, system, k_ctrl, x0,
+                                                  obstacles)
+            valid = valid & slot_active
+            samples1 = jnp.concatenate([x1, controls], axis=-1)
+
+        d1, d2, accept, r2_seen = _region_stats_and_accept(
+            cfg, grid, x1, slot_active, valid, r1_score, r2_seen, k_accept)
+
+        # --- commit into the next-frontier registers (no tree write) ------
+        with jax.named_scope("kgmt_commit_pathless"):
+            accept_i = accept.astype(jnp.int32)
+            accept_pos = jnp.cumsum(accept_i) - accept_i
+            child_virt = s.tree_size + accept_pos
+            within = accept & (child_virt < M)
+            n_acc = jnp.minimum(accept_i.sum(), M - s.tree_size)
+            child_cost = parent_cost + controls[:, -1]
+            # rows past the R-buffer width fall out of bounds -> dropped;
+            # sample + cost committed by ONE fused whole-row scatter
+            dst = jnp.where(within, n_next + accept_pos, R)
+            child_rows = jnp.concatenate([samples1, child_cost[:, None]],
+                                         axis=-1)
+            nxt_rows = nxt_rows.at[dst].set(child_rows, mode="drop")
+            n_next = jnp.minimum(n_next + n_acc, R)
+
+        # --- goal check (inGoalRegion, KGMT.cu:635-638) -------------------
+        with jax.named_scope("kgmt_goal"):
+            d2g = (x1[:, 0] - goal[0]) ** 2 + (x1[:, 1] - goal[1]) ** 2
+            in_goal = within & (d2g < cfg.goal_threshold**2)
+            goal_costs = jnp.where(in_goal, child_cost, jnp.inf)
+            best_cost = goal_costs.min()
+            cost_to_goal = jnp.minimum(best_cost, s.cost_to_goal)
+
+        last = (w + 1) >= n_waves
+        stalled = n_next == 0
+        if cfg.keep_frontier_on_stall:
+            take_next = last & ~stalled
+        else:
+            take_next = last  # stalled -> empty frontier, loop stops
+        s2 = s._replace(
+            f_rows=jnp.where(take_next, nxt_rows, s.f_rows),
+            n_frontier=jnp.where(take_next, n_next, s.n_frontier),
+            tree_size=s.tree_size + n_acc,
+            r1_total=s.r1_total + d1[:, 0],
+            r1_valid=s.r1_valid + d1[:, 1],
+            r1_invalid=s.r1_invalid + (d1[:, 0] - d1[:, 1]),
+            r1_avail=s.r1_avail | (d1[:, 1] > 0).astype(jnp.int32),
+            r2_avail=s.r2_avail | (d2[:, 1] > 0).astype(jnp.int32),
+            r1_score=r1_score,
+            r1_threshold=r1_thr,
+            cost_to_goal=cost_to_goal,
+            itr=it + last.astype(jnp.int32),
+            stalled=jnp.where(last, stalled, s.stalled),
+            m_frontier_size=s.m_frontier_size.at[it].set(n_frontier),
+            m_valid=s.m_valid.at[it].add(valid.sum()),
+            m_accepted=s.m_accepted.at[it].add(n_acc),
+            m_tree_size=s.m_tree_size.at[it].set(s.tree_size + n_acc),
+        )
+        return (s2, jnp.where(last, jnp.int32(0), w + 1), n_tgt, r1_score,
+                r1_thr, r2_seen, nxt_rows, n_next)
+
+    zero = jnp.zeros((), jnp.int32)
+    init = (s0, zero, zero, s0.r1_score, s0.r1_threshold, s0.r2_avail,
+            jnp.zeros((R, SAMPLE_DIM + 1), jnp.float32), zero)
+    return jax.lax.while_loop(cond, body, init)[0]
+
+
+def kgmt_solve_pathless(cfg: KGMTConfig, system, grid: RegionGrid,
+                        init: Array, goal: Array, obstacles: Array,
+                        key: Array) -> PathlessState:
+    """Full feasibility-only solve (need_path=False)."""
+    s0 = init_pathless_state(cfg, grid, init, key)
+    return kgmt_run_pathless(cfg, system, grid, goal, obstacles, s0)
+
+
 def extract_path(cfg: KGMTConfig, s: KGMTState) -> tuple[Array, Array, Array]:
     """Walk parent pointers from the goal node to the root, on device.
 
@@ -826,17 +1061,38 @@ class KGMT(Planner):
         )
         cfg, sys_, grid = self.config, self.system, self.grid
 
-        @jax.jit
-        def _solve(init, goal, obstacles, key):
-            final = kgmt_solve(cfg, sys_, grid, init, goal, obstacles, key)
-            nodes, samples, length = extract_path(cfg, final)
-            return final, nodes, samples, length
+        if cfg.need_path:
+            @jax.jit
+            def _solve(init, goal, obstacles, key):
+                final = kgmt_solve(cfg, sys_, grid, init, goal, obstacles,
+                                   key)
+                nodes, samples, length = extract_path(cfg, final)
+                return final, nodes, samples, length
 
-        @jax.jit
-        def _resume(s0, goal, obstacles):
-            final = kgmt_run(cfg, sys_, grid, goal, obstacles, s0)
-            nodes, samples, length = extract_path(cfg, final)
-            return final, nodes, samples, length
+            @jax.jit
+            def _resume(s0, goal, obstacles):
+                final = kgmt_run(cfg, sys_, grid, goal, obstacles, s0)
+                nodes, samples, length = extract_path(cfg, final)
+                return final, nodes, samples, length
+        else:
+            # feasibility-only: no tree, no path — empty path placeholders
+            def _no_path(final):
+                L = cfg.num_iterations + 1
+                return (jnp.full(L, -1, jnp.int32),
+                        jnp.zeros((L, SAMPLE_DIM), jnp.float32),
+                        jnp.zeros((), jnp.int32))
+
+            @jax.jit
+            def _solve(init, goal, obstacles, key):
+                final = kgmt_solve_pathless(cfg, sys_, grid, init, goal,
+                                            obstacles, key)
+                return (final,) + _no_path(final)
+
+            @jax.jit
+            def _resume(s0, goal, obstacles):
+                final = kgmt_run_pathless(cfg, sys_, grid, goal, obstacles,
+                                          s0)
+                return (final,) + _no_path(final)
 
         self._solve = _solve
         self._resume = _resume
@@ -916,6 +1172,9 @@ class KGMT(Planner):
         from cudasbmp_tpu.io.csv import write_csv
 
         cfg = self.config
+        if not cfg.need_path:
+            raise ValueError("plan_recorded needs the tree-mode planner "
+                             "(need_path=True): its artifacts ARE the tree")
         out = pathlib.Path(out_dir)
         for sub in ("Samples", "Parents", "R1Scores", "R1Avail", "R1", "G",
                     "UnexploredSamples", "UParentIdx"):

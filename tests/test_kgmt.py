@@ -431,3 +431,45 @@ def test_flat_run_matches_nested_adaptive_multiwave(demo_scenario, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(flat.state.tree_samples),
         np.asarray(nested.state.tree_samples))
+
+
+def test_pathless_matches_tree_mode(small_config, demo_scenario):
+    """need_path=False (VERDICT r4 item 3): the register-frontier
+    feasibility driver must reproduce the tree mode's (solved, cost,
+    iterations, tree_size) BITWISE whenever every iteration's accepted
+    children fit the R-row frontier buffer — guaranteed here because
+    adaptive waves at R=2048 never accept more than R children per
+    iteration on the demo before the goal is hit (frontier peak < R)."""
+    tree = KGMT(small_config).plan(demo_scenario, seed=3)
+    pathless = KGMT(small_config.replace(need_path=False)).plan(
+        demo_scenario, seed=3)
+    assert pathless.solved == tree.solved
+    assert pathless.cost == tree.cost  # bitwise f32 equality
+    assert pathless.iterations == tree.iterations
+    assert pathless.tree_size == tree.tree_size  # virtual == actual
+    assert len(pathless.path) == 0  # feasibility-only: no path
+    np.testing.assert_array_equal(
+        np.asarray(pathless.state.r1_score),
+        np.asarray(tree.state.r1_score))
+    np.testing.assert_array_equal(
+        np.asarray(pathless.state.m_accepted),
+        np.asarray(tree.state.m_accepted))
+
+
+def test_pathless_matches_tree_mode_single_wave(demo_scenario):
+    """Same equivalence in the non-adaptive single-wave regime (the
+    multi-query planners' configuration), where accepted <= R holds by
+    construction."""
+    cfg = KGMTConfig(num_iterations=80, max_tree_size=8192,
+                     rollouts_per_iter=512, adaptive_waves=False, seed=0)
+    tree = KGMT(cfg).plan(demo_scenario, seed=9)
+    pathless = KGMT(cfg.replace(need_path=False)).plan(demo_scenario, seed=9)
+    assert pathless.solved == tree.solved
+    assert pathless.cost == tree.cost
+    assert pathless.iterations == tree.iterations
+    assert pathless.tree_size == tree.tree_size
+
+
+def test_pathless_rejects_goal_bias():
+    with pytest.raises(ValueError, match="need_path"):
+        KGMTConfig(need_path=False, goal_bias=0.3)

@@ -164,7 +164,12 @@ def _rollout_wave(cfg: KGMTConfig, system, x0: Array, obstacles: Array,
 
     Shared obstacle set ([K, 4]): the batch FLATTENS into one fused-kernel
     call of B*R lanes — full lane occupancy, no vmap. Per-problem obstacles
-    ([B, K, 4]): vmap over the batch with a block sized to R lanes."""
+    ([B, K, 4]): vmap over the batch with a block sized to R lanes.
+
+    ``key`` may be a single key (arena: one stream per wave) or a [B] key
+    array (streaming MC: per-SLOT streams keyed by scenario id, so id-range
+    partitions reproduce bit-for-bit); per-slot keys require per-problem
+    obstacles — the flattened shared-obstacle kernel takes one seed."""
     from cudasbmp_tpu.ops.rollout import rollout_batch
     from cudasbmp_tpu.ops.rollout_pallas import (
         rollout_pallas,
@@ -173,31 +178,44 @@ def _rollout_wave(cfg: KGMTConfig, system, x0: Array, obstacles: Array,
     )
 
     B, R = x0.shape[0], x0.shape[1]
+    per_slot_keys = key.shape == (B,)
     on_tpu = jax.devices()[0].platform == "tpu"
     use_pallas = supports_system(system) and (
         cfg.rollout_backend in ("pallas", "pallas_rng")
         or (cfg.rollout_backend == "auto" and on_tpu))
     use_rng = use_pallas and cfg.rollout_backend == "pallas_rng" and on_tpu
     shared_obs = obstacles.ndim == 2
+    if per_slot_keys and shared_obs:
+        raise ValueError("per-slot keys need per-problem obstacles")
     kw = dict(num_disc=cfg.num_disc, width=cfg.width, height=cfg.height,
               footprint=cfg.footprint, fast_math=cfg.fast_math)
 
     if use_rng:
-        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
         if shared_obs:
+            seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
             x1, controls, valid = sample_and_rollout_pallas(
                 system, seed, x0.reshape(B * R, -1), obstacles, **kw)
             return (x1.reshape(B, R, -1), controls.reshape(B, R, -1),
                     valid.reshape(B, R))
         block_rows = max(8, min(64, R // 128))
-        seeds = jax.random.randint(key, (B,), 0, jnp.iinfo(jnp.int32).max)
+        if per_slot_keys:
+            seeds = jax.vmap(
+                lambda k: jax.random.randint(k, (), 0,
+                                             jnp.iinfo(jnp.int32).max))(key)
+        else:
+            seeds = jax.random.randint(key, (B,), 0,
+                                       jnp.iinfo(jnp.int32).max)
         x1, controls, valid = jax.vmap(
             lambda sd, x, ob: sample_and_rollout_pallas(
                 system, sd, x, ob, block_rows=block_rows, **kw)
         )(seeds, x0, obstacles)
         return x1, controls, valid
 
-    controls = system.control_spec.sample(key, (B, R))
+    if per_slot_keys:
+        controls = jax.vmap(
+            lambda k: system.control_spec.sample(k, (R,)))(key)
+    else:
+        controls = system.control_spec.sample(key, (B, R))
     if use_pallas:
         pkw = dict(kw, interpret=not on_tpu)
         if shared_obs:
@@ -640,13 +658,16 @@ class ArenaMultiQueryPlanner:
                                              system=self.system,
                                              auto_capacity=True)
                 self._extensions[windows] = sub
-            # pad the subset to a power-of-two bucket (and a multiple of the
-            # mesh's scenario axis) by repeating the first entry
+            # pad the subset to a power-of-two bucket (and a MULTIPLE of the
+            # mesh's scenario axis — ADVICE r4: max() alone breaks for
+            # non-power-of-two axes like 6, where the recursive plan_batch
+            # would reject a bucket not divisible by n_shard) by repeating
+            # the first entry
             bucket = 1 << (int(idx.size - 1)).bit_length()
             bucket = max(bucket, 8)
             if self.mesh is not None:
                 n_shard = self.mesh.shape["scenario"]
-                bucket = max(bucket, n_shard)
+                bucket = -(-bucket // n_shard) * n_shard
             pad_idx = np.concatenate(
                 [idx, np.full(bucket - idx.size, idx[0], np.int64)])
             sub_obs = (obstacles if np.asarray(obstacles).ndim == 2

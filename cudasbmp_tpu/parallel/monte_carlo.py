@@ -119,6 +119,16 @@ class MonteCarloPlanner:
         kw = {}
         if max_extensions:
             # progressive-doubling restarts exist only on the arena planner
+            # (ADVICE r4: with impl='vmap' the kwarg would TypeError deep in
+            # plan_batch — reject it up front with a usable message)
+            from cudasbmp_tpu.parallel.batch_kgmt import (
+                ArenaMultiQueryPlanner,
+            )
+
+            if not isinstance(self.planner, ArenaMultiQueryPlanner):
+                raise ValueError(
+                    "max_extensions requires impl='arena' (the vmap "
+                    "multi-query planner has no restart mechanism)")
             kw = {"max_extensions": max_extensions}
         t0 = time.perf_counter()
         res = self.planner.plan_batch(inits, goals, obstacles, seed=seed + 1,

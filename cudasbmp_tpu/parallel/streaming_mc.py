@@ -153,12 +153,19 @@ def _scores(cfg: KGMTConfig, r1_total, r1_valid, r2_valid) -> Array:
 
 def stream_init(cfg: KGMTConfig, grid: RegionGrid, key: Array, B: int, R: int,
                 num_scenarios: int, num_obstacles: int, pad_to: int,
-                state_dim: int) -> StreamState:
-    ids0 = jnp.arange(B, dtype=jnp.int32)
+                state_dim: int, id_lo: Array | int = 0) -> StreamState:
+    """``id_lo`` offsets this pool's scenario-id range to
+    [id_lo, id_lo + num_scenarios): scenario ids are GLOBAL (they key both
+    the generator and the per-scenario search RNG), so N pools over
+    disjoint ranges reproduce one big pool's results bit-for-bit. May be a
+    traced value (shard_map partitions by axis_index)."""
+    id_lo = jnp.asarray(id_lo, jnp.int32)
+    local0 = jnp.arange(B, dtype=jnp.int32)
+    ids0 = id_lo + local0
     obstacles, init, goal = _gen_scenarios(cfg, grid, key, ids0,
                                            num_obstacles, pad_to, state_dim)
     oh_r1, oh_r2 = _init_region_onehots(cfg, grid, init[:, 0:2])
-    active = ids0 < num_scenarios
+    active = local0 < num_scenarios
     return StreamState(
         p_x0=jnp.broadcast_to(init[:, None, :], (B, R, state_dim)),
         p_cost=jnp.zeros((B, R), jnp.float32),
@@ -168,7 +175,7 @@ def stream_init(cfg: KGMTConfig, grid: RegionGrid, key: Array, B: int, R: int,
         slot_it=jnp.zeros(B, jnp.int32),
         cost_to_goal=jnp.full(B, jnp.inf, jnp.float32),
         r1_total=oh_r1, r1_valid=oh_r1, r2_valid=oh_r2,
-        next_id=jnp.minimum(jnp.int32(B), jnp.int32(num_scenarios)),
+        next_id=id_lo + jnp.minimum(jnp.int32(B), jnp.int32(num_scenarios)),
         n_done=jnp.zeros((), jnp.int32),
         out_cost=jnp.full(num_scenarios, jnp.inf, jnp.float32),
         out_iters=jnp.zeros(num_scenarios, jnp.int32),
@@ -179,13 +186,14 @@ def stream_init(cfg: KGMTConfig, grid: RegionGrid, key: Array, B: int, R: int,
 
 def stream_iteration(cfg: KGMTConfig, system, grid: RegionGrid, R: int,
                      num_scenarios: int, num_obstacles: int, pad_to: int,
-                     s: StreamState) -> StreamState:
+                     s: StreamState, id_lo: Array | int = 0) -> StreamState:
     """One pool iteration: expand every live slot one wave; complete slots
     that solved or exhausted their per-scenario budget; refill them with
     fresh scenarios while any remain."""
     B = s.scn_id.shape[0]
     nr1, n2 = cfg.num_r1, cfg.n * cfg.n
     S = s.p_x0.shape[-1]
+    id_lo = jnp.asarray(id_lo, jnp.int32)
     live = s.scn_id >= 0
     r1_score = _scores(cfg, s.r1_total, s.r1_valid, s.r2_valid)
 
@@ -203,8 +211,18 @@ def stream_iteration(cfg: KGMTConfig, system, grid: RegionGrid, R: int,
 
     # --- expansion (vmapped per-slot obstacle sets) -----------------------
     with jax.named_scope("stream_expand"):
-        key_it = jax.random.fold_in(s.key, s.it)
-        k_ctrl, k_accept = jax.random.split(key_it)
+        # Per-SCENARIO RNG (r5): slot b's wave keys derive from
+        # (master key, its GLOBAL scenario id, its own slot_it) — NOT the
+        # pool's global iteration counter — so a scenario's search stream
+        # is independent of pool size, slot placement, and what the other
+        # slots are doing. This is what makes id-range partitions across
+        # pools/chips reproduce the single-pool sweep bit-for-bit
+        # (tests/test_streaming_mc.py::test_partitioned_pools_*).
+        k_slot = jax.vmap(
+            lambda i, t: jax.random.fold_in(jax.random.fold_in(s.key, i), t)
+        )(jnp.maximum(s.scn_id, 0), s.slot_it)
+        k_ctrl = jax.vmap(lambda k: jax.random.fold_in(k, 0))(k_slot)
+        k_accept = jax.vmap(lambda k: jax.random.fold_in(k, 1))(k_slot)
         x1, controls, valid = _rollout_wave(cfg, system, x0, s.obstacles,
                                             k_ctrl)
         valid = valid & live[:, None]
@@ -236,7 +254,7 @@ def stream_iteration(cfg: KGMTConfig, system, grid: RegionGrid, R: int,
         virgin = ~in_r2 | (seen_r == 0)
 
     with jax.named_scope("stream_accept"):
-        u = jax.random.uniform(k_accept, (B, R))
+        u = jax.vmap(lambda k: jax.random.uniform(k, (R,)))(k_accept)
         accept = valid & ((u <= score_r) | virgin)
         child_cost = pcost + controls[..., -1]
 
@@ -281,22 +299,23 @@ def stream_iteration(cfg: KGMTConfig, system, grid: RegionGrid, R: int,
         solved = jnp.isfinite(cost_to_goal)
         exhausted = slot_it >= cfg.num_iterations
         completed = live & (solved | exhausted)
-        # per-scenario result rows (exact, not pool aggregates)
-        dst = jnp.where(completed, s.scn_id, num_scenarios)
+        # per-scenario result rows (exact, not pool aggregates), indexed
+        # LOCALLY (global id - id_lo)
+        dst = jnp.where(completed, s.scn_id - id_lo, num_scenarios)
         out_cost = s.out_cost.at[dst].set(cost_to_goal, mode="drop")
         out_iters = s.out_iters.at[dst].set(slot_it, mode="drop")
         n_done = s.n_done + completed.sum(dtype=jnp.int32)
-        # assign fresh ids to completed slots while scenarios remain
+        # assign fresh GLOBAL ids to completed slots while scenarios remain
         pos = jnp.cumsum(completed.astype(jnp.int32)) - 1
         cand_id = s.next_id + pos
-        fresh = completed & (cand_id < num_scenarios)
+        id_hi = id_lo + num_scenarios
+        fresh = completed & (cand_id < id_hi)
         next_id = jnp.minimum(
-            s.next_id + completed.sum(dtype=jnp.int32),
-            jnp.int32(num_scenarios))
+            s.next_id + completed.sum(dtype=jnp.int32), id_hi)
         scn_id = jnp.where(completed, jnp.where(fresh, cand_id, -1),
                            s.scn_id)
         # generate the refills (deterministic per id; vmapped over slots)
-        gen_ids = jnp.where(fresh, cand_id, 0)
+        gen_ids = jnp.where(fresh, cand_id, id_lo)
         g_obs, g_init, g_goal = _gen_scenarios(
             cfg, grid, s.key, gen_ids, num_obstacles, pad_to, S)
         oh_r1, oh_r2 = _init_region_onehots(cfg, grid, g_init[:, 0:2])
@@ -329,11 +348,11 @@ def stream_iteration(cfg: KGMTConfig, system, grid: RegionGrid, R: int,
 
 def stream_solve(cfg: KGMTConfig, system, grid: RegionGrid, key: Array,
                  B: int, R: int, num_scenarios: int, num_obstacles: int,
-                 pad_to: int) -> StreamState:
+                 pad_to: int, id_lo: Array | int = 0) -> StreamState:
     s0 = stream_init(cfg, grid, key, B, R, num_scenarios, num_obstacles,
-                     pad_to, system.state_dim)
-    body = partial(stream_iteration, cfg, system, grid, R, num_scenarios,
-                   num_obstacles, pad_to)
+                     pad_to, system.state_dim, id_lo=id_lo)
+    body = lambda s: stream_iteration(cfg, system, grid, R, num_scenarios,
+                                      num_obstacles, pad_to, s, id_lo=id_lo)
     # hard cap: every scenario gets at most num_iterations waves; the pool
     # drains in ceil(total/B)*budget iterations even at solve rate 0
     cap = (num_scenarios + B - 1) // B * cfg.num_iterations + cfg.num_iterations
@@ -362,11 +381,15 @@ class StreamingMonteCarloPlanner:
 
     Deployment model: one pool PER CHIP — slots never communicate, so the
     multi-chip/multi-host form is N independent pools over disjoint
-    scenario-id ranges (the id-keyed generator makes any partition
-    reproducible), exactly like the static Monte-Carlo sweep's scenario
-    axis. ``mesh`` only pins replicated output sharding for multi-host
-    callers that want every process to hold the full result arrays; it
-    does not shard the pool."""
+    scenario-id ranges. Both the scenario GENERATOR and the per-scenario
+    search RNG are keyed by global scenario id (r5), so any partition
+    reproduces the single-pool results bit-for-bit — ``run(id_lo=...)``
+    runs one partition by hand, ``run_sharded(mesh=...)`` runs one pool
+    per device along a mesh axis via shard_map and concatenates
+    (tests/test_streaming_mc.py asserts both equal the single pool).
+    ``mesh`` passed to the constructor only pins replicated output
+    sharding for multi-host callers that want every process to hold the
+    full result arrays; it does not shard the pool."""
 
     def __init__(self, config: KGMTConfig | None = None, pool: int = 1024,
                  mesh: Mesh | None = None, system=None):
@@ -386,9 +409,10 @@ class StreamingMonteCarloPlanner:
             cfg, system, grid = self.config, self.system, self.grid
             B, R = self.pool, cfg.rollouts_per_iter
 
-            def _solve(key):
+            def _solve(key, id_lo):
                 f = stream_solve(cfg, system, grid, key, B, R,
-                                 num_scenarios, num_obstacles, pad_to)
+                                 num_scenarios, num_obstacles, pad_to,
+                                 id_lo=id_lo)
                 return f.out_cost, f.out_iters, f.it
 
             if self.mesh is not None:
@@ -399,8 +423,11 @@ class StreamingMonteCarloPlanner:
             self._solves[key_] = fn
         return fn
 
-    def run(self, num_scenarios: int, seed: int = 0, num_obstacles: int = 8
-            ) -> StreamingMCSummary:
+    def run(self, num_scenarios: int, seed: int = 0, num_obstacles: int = 8,
+            id_lo: int = 0) -> StreamingMCSummary:
+        """Sweep scenario ids [id_lo, id_lo + num_scenarios). ``id_lo > 0``
+        runs one partition of a larger sweep — results are bitwise the
+        corresponding slice of the unpartitioned run (same seed)."""
         cfg = self.config
         if num_obstacles > cfg.max_obstacles:
             raise ValueError(
@@ -408,7 +435,75 @@ class StreamingMonteCarloPlanner:
         pad_to = min(cfg.max_obstacles, max(8, -(-num_obstacles // 8) * 8))
         fn = self._get_solve(num_scenarios, num_obstacles, pad_to)
         t0 = time.perf_counter()
-        costs, iters, _ = jax.block_until_ready(fn(jax.random.key(seed)))
+        costs, iters, _ = jax.block_until_ready(
+            fn(jax.random.key(seed), jnp.int32(id_lo)))
+        wall = time.perf_counter() - t0
+        costs = np.asarray(costs)
+        iters = np.asarray(iters)
+        solved = np.isfinite(costs)
+        q = (np.quantile(costs[solved], [0.1, 0.5, 0.9]).round(3).tolist()
+             if solved.any() else [float("nan")] * 3)
+        return StreamingMCSummary(
+            num_scenarios=num_scenarios,
+            solve_rate=float(solved.mean()),
+            mean_cost_solved=float(costs[solved].mean()) if solved.any()
+            else float("nan"),
+            cost_quantiles={"p10": q[0], "p50": q[1], "p90": q[2]},
+            mean_iters=float(iters.mean()),
+            num_budget_exhausted=int((~solved).sum()),
+            wall_time_s=wall,
+            solves_per_sec=num_scenarios / wall,
+            costs=costs,
+            iters=iters,
+        )
+
+    def run_sharded(self, num_scenarios: int, mesh: Mesh, seed: int = 0,
+                    num_obstacles: int = 8, axis: str = "scenario"
+                    ) -> StreamingMCSummary:
+        """The multi-chip deployment form: ONE independent pool per device
+        along ``axis``, each sweeping a disjoint global-id range
+        [k*per, (k+1)*per), with the per-shard result arrays concatenated
+        by shard_map's output spec. No collectives anywhere — slots never
+        communicate — and the union is bitwise the single-pool sweep (the
+        wave RNG is keyed by global scenario id, not pool state)."""
+        from cudasbmp_tpu.utils.vma import pvary_to
+
+        cfg, system, grid = self.config, self.system, self.grid
+        if num_obstacles > cfg.max_obstacles:
+            raise ValueError(
+                f"{num_obstacles} obstacles > max {cfg.max_obstacles}")
+        n_shards = mesh.shape[axis]
+        if num_scenarios % n_shards:
+            raise ValueError(
+                f"num_scenarios={num_scenarios} must divide evenly over "
+                f"{n_shards} '{axis}' shards")
+        per = num_scenarios // n_shards
+        pad_to = min(cfg.max_obstacles, max(8, -(-num_obstacles // 8) * 8))
+        B, R = self.pool, cfg.rollouts_per_iter
+
+        def shard_fn(key):
+            lo = jax.lax.axis_index(axis).astype(jnp.int32) * per
+            s0 = stream_init(cfg, grid, key, B, R, per, num_obstacles,
+                             pad_to, system.state_dim, id_lo=lo)
+            # the carry mixes id-derived (varying) and constant (replicated)
+            # leaves; promote everything to varying so the while_loop carry
+            # has one consistent VMA type under check_vma (kgmt.py pattern)
+            s0 = pvary_to(s0, (axis,))
+            cap = ((per + B - 1) // B * cfg.num_iterations
+                   + cfg.num_iterations)
+            f = jax.lax.while_loop(
+                lambda s: (s.n_done < per) & (s.it < cap),
+                lambda s: stream_iteration(cfg, system, grid, R, per,
+                                           num_obstacles, pad_to, s,
+                                           id_lo=lo),
+                s0)
+            return f.out_cost, f.out_iters
+
+        fn = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=P(),
+            out_specs=(P(axis), P(axis))))
+        t0 = time.perf_counter()
+        costs, iters = jax.block_until_ready(fn(jax.random.key(seed)))
         wall = time.perf_counter() - t0
         costs = np.asarray(costs)
         iters = np.asarray(iters)

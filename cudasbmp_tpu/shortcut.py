@@ -120,6 +120,72 @@ def _shortcut_round(system, cfg: KGMTConfig, K: int, N: int,
     return nodes, n_edges
 
 
+@partial(jax.jit, static_argnames=("system", "cfg", "K", "N", "rounds"))
+def _shortcut_batch_jit(system, cfg: KGMTConfig, K: int, N: int, rounds: int,
+                        nodes, n_edges, goal_xys, obstacles, key, min_gain):
+    """All rounds x all paths in ONE program: lax.scan over rounds, vmap of
+    ``_shortcut_round`` over the padded path batch."""
+    B = nodes.shape[0]
+
+    def round_step(carry, r):
+        nd, ne = carry
+        kr = jax.random.fold_in(key, r)
+        keys = jax.vmap(lambda b: jax.random.fold_in(kr, b))(
+            jnp.arange(B, dtype=jnp.int32))
+        nd, ne = jax.vmap(
+            lambda a, b_, g, ob, k_: _shortcut_round(
+                system, cfg, K, N, a, b_, g, ob, k_, min_gain)
+        )(nd, ne, goal_xys, obstacles, keys)
+        return (nd, ne), None
+
+    (nodes, n_edges), _ = jax.lax.scan(
+        round_step, (nodes, n_edges), jnp.arange(rounds, dtype=jnp.int32))
+    return nodes, n_edges
+
+
+def shortcut_batch(system: System, cfg: KGMTConfig, paths: np.ndarray,
+                   path_lengths: np.ndarray, goals: np.ndarray,
+                   obstacles: np.ndarray, scfg: ShortcutConfig | None = None,
+                   seed: int = 0) -> dict:
+    """Shortcut a whole multi-query batch of solved paths in ONE jitted
+    program (the post-processing pipeline's first stage; refine_batch is
+    the second). paths: [B, Lmax, SAMPLE_DIM] padded, root first
+    (MultiQueryResult.paths layout); path_lengths: [B] node counts (< 2 =
+    unsolved, passed through untouched — the ``n_edges >= 2`` guard inside
+    the round makes them unshortcuttable by construction); obstacles:
+    [B, K, 4] or shared [K, 4].
+
+    Returns dict of arrays: paths [B, Lmax, SAMPLE_DIM] (entries past the
+    new edge count zeroed, like the single-path variant), path_lengths [B]
+    (new node counts), cost_before/cost_after [B]."""
+    scfg = scfg or ShortcutConfig()
+    B, N = paths.shape[0], paths.shape[1]
+    obstacles = np.asarray(obstacles)
+    if obstacles.ndim == 2:
+        obstacles = np.broadcast_to(obstacles, (B,) + obstacles.shape)
+    nodes0 = jnp.asarray(paths)
+    n_edges0 = jnp.maximum(jnp.asarray(path_lengths, jnp.int32) - 1, 0)
+    goal_xys = jnp.asarray(np.asarray(goals)[:, :2])
+    nodes, n_edges = _shortcut_batch_jit(
+        system, cfg, scfg.candidates, N, scfg.rounds, nodes0, n_edges0,
+        goal_xys, jnp.asarray(obstacles), jax.random.key(seed),
+        jnp.float32(scfg.min_gain))
+    nodes = np.asarray(nodes)
+    n_edges_np = np.asarray(n_edges)
+    idx = np.arange(N)[None, :]
+    edge_mask0 = (idx >= 1) & (idx <= np.asarray(n_edges0)[:, None])
+    edge_mask1 = (idx >= 1) & (idx <= n_edges_np[:, None])
+    return {
+        "paths": nodes,
+        "path_lengths": np.where(np.asarray(path_lengths) >= 2,
+                                 n_edges_np + 1,
+                                 np.asarray(path_lengths)),
+        "cost_before": (np.asarray(paths)[:, :, SAMPLE_DIM - 1]
+                        * edge_mask0).sum(axis=1),
+        "cost_after": (nodes[:, :, SAMPLE_DIM - 1] * edge_mask1).sum(axis=1),
+    }
+
+
 def shortcut_path(system: System, cfg: KGMTConfig, path: np.ndarray,
                   goal: np.ndarray, obstacles: np.ndarray,
                   scfg: ShortcutConfig | None = None, seed: int = 0) -> dict:

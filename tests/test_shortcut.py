@@ -61,3 +61,46 @@ def test_shortcut_generic_over_systems(small_config, demo_scenario):
                         demo_scenario.goal, demo_scenario.obstacles,
                         ShortcutConfig(rounds=16, candidates=64))
     assert out["cost_after"] <= out["cost_before"] + 1e-5
+
+
+@pytest.mark.slow
+def test_shortcut_batch_multi_query(small_config, demo_scenario):
+    """shortcut_batch: the whole multi-query batch shortcuts in one jitted
+    program; every solved row's cost must not increase and its new path
+    must replay collision-free into the goal region. Unsolved rows pass
+    through untouched."""
+    from cudasbmp_tpu.parallel.batch_kgmt import ArenaMultiQueryPlanner
+    from cudasbmp_tpu.shortcut import shortcut_batch
+
+    cfg = small_config.replace(rollouts_per_iter=128, num_iterations=60,
+                               adaptive_waves=False)
+    planner = ArenaMultiQueryPlanner(cfg, auto_capacity=True)
+    B = 8
+    inits = np.tile(demo_scenario.init, (B, 1))
+    goals = np.tile(demo_scenario.goal, (B, 1))
+    obstacles, _ = demo_scenario.padded_obstacles(cfg.max_obstacles)
+    res = planner.plan_batch(inits, goals, obstacles, seed=2)
+    assert res.solved.any()
+    out = shortcut_batch(planner.system, cfg, res.paths, res.path_lengths,
+                         goals, obstacles,
+                         ShortcutConfig(rounds=24, candidates=64), seed=5)
+    solved = res.path_lengths >= 2
+    assert (out["cost_after"][solved] <= out["cost_before"][solved] + 1e-5
+            ).all()
+    np.testing.assert_array_equal(out["path_lengths"][~solved],
+                                  res.path_lengths[~solved])
+    assert (out["path_lengths"][solved] <= res.path_lengths[solved]).all()
+    # hard replay of every solved shortcut path
+    for b in np.flatnonzero(solved):
+        path = out["paths"][b][: out["path_lengths"][b]]
+        state = jnp.asarray(path[0][:4])[None]
+        obs = jnp.asarray(obstacles)
+        for k in range(1, len(path)):
+            state, valid = rollout_batch(
+                planner.system, state, jnp.asarray(path[k][4:])[None],
+                cfg.num_disc, obs, 20.0, 20.0)
+            assert bool(valid[0]), f"path {b} edge {k} invalid on replay"
+        end = np.asarray(state[0])
+        d = np.hypot(end[0] - demo_scenario.goal[0],
+                     end[1] - demo_scenario.goal[1])
+        assert d < cfg.goal_threshold

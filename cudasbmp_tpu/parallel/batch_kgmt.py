@@ -367,15 +367,19 @@ def arena_iteration(cfg: KGMTConfig, system, grid: RegionGrid,
         # score + virgin-subcell lookups through the SAME one-hots
         # (KGMT.cu:394-400: accept if rand <= R1Score[r1] or R2 cell empty)
         seen = (s.r2_valid > 0).astype(jnp.float32)  # [B, NR1, n2]
-        tbl = jnp.concatenate([r1_score[:, :, None], seen], axis=-1)
-        # HIGHEST: the score column is full-mantissa f32 payload; the MXU's
-        # default bf16 lowering would perturb acceptance probabilities
-        # (ADVICE r3, medium)
-        look = jnp.einsum("brc,bcl->brl", oh1, tbl,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-        score_r = look[..., 0]
-        seen_r = (look[..., 1:] * ohl).sum(-1)
+        # The lookups split by precision need (r5; formerly one bundled
+        # HIGHEST einsum): the SCORE column is full-mantissa f32 payload, so
+        # its one-hot select stays HIGHEST (the MXU's default bf16 lowering
+        # would perturb acceptance probabilities — ADVICE r3, medium); the
+        # SEEN table is {0,1} (bf16-exact) with an f32 accumulator, so
+        # default precision is bitwise-identical at a third of the MXU
+        # passes — and it is 64/65ths of the bundled contraction's FLOPs.
+        score_r = jnp.einsum("brc,bc->br", oh1, r1_score,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+        seen_rows = jnp.einsum("brc,bcl->brl", oh1, seen,
+                               preferred_element_type=jnp.float32)
+        seen_r = (seen_rows * ohl).sum(-1)
         virgin = ~in_r2 | (seen_r == 0)
 
     with jax.named_scope("arena_accept"):

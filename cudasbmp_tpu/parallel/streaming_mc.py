@@ -245,12 +245,16 @@ def stream_iteration(cfg: KGMTConfig, system, grid: RegionGrid, R: int,
                        preferred_element_type=jnp.float32)
         d2_valid, d1_total, d1_valid = d[..., :n2], d[..., n2], d[..., n2 + 1]
         seen = (s.r2_valid > 0).astype(jnp.float32)
-        tbl = jnp.concatenate([r1_score[:, :, None], seen], axis=-1)
-        look = jnp.einsum("brc,bcl->brl", oh1, tbl,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-        score_r = look[..., 0]
-        seen_r = (look[..., 1:] * ohl).sum(-1)
+        # precision split (r5, mirrors batch_kgmt): score select stays
+        # HIGHEST (f32 payload), the {0,1} seen contraction — 64/65ths of
+        # the FLOPs — runs at default precision, bitwise-identical with the
+        # f32 accumulator
+        score_r = jnp.einsum("brc,bc->br", oh1, r1_score,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+        seen_rows = jnp.einsum("brc,bcl->brl", oh1, seen,
+                               preferred_element_type=jnp.float32)
+        seen_r = (seen_rows * ohl).sum(-1)
         virgin = ~in_r2 | (seen_r == 0)
 
     with jax.named_scope("stream_accept"):

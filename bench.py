@@ -433,13 +433,20 @@ def measure_monte_carlo(batch: int = 1024, num_obstacles: int = 8) -> dict:
     return best
 
 
-def measure_streaming_mc(total: int = 1024, pool: int = 1024,
+def measure_streaming_mc(total: int = 4096, pool: int = 1024,
                          num_obstacles: int = 8) -> dict:
     """Streaming Monte-Carlo sweep (VERDICT r3 item 7): solved slots refill
     with fresh scenarios device-side, so wall time is not bounded by the
     slowest problem of a static batch, and there is no tree storage or path
     extraction at all. Same scenario recipe as measure_monte_carlo (config 5
-    per-chip)."""
+    per-chip).
+
+    total=4096 (r5): at total == pool the sweep never refills — it is all
+    drain tail, and the recorded rate triples once the pool stays full
+    (3.2k/s at 1024 scenarios vs 9.7k/s at 4096, same session, same cost
+    p50 — docs/perf.md r5). BASELINE config 5 asks for 1000+ scenarios;
+    the steady-state figure is the honest per-chip one. pool=2048 is
+    WORSE (5.5k/s): wider pools spend more lanes per completed scenario."""
     from cudasbmp_tpu.config import KGMTConfig
     from cudasbmp_tpu.parallel.streaming_mc import StreamingMonteCarloPlanner
 

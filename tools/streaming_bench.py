@@ -3,6 +3,8 @@
 when its own budget can't afford the compile over the axon relay.
 
 Run on the real TPU chip:  python tools/streaming_bench.py [total] [pool]
+(default 4096/1024 — the steady-state workload; total == pool is all drain
+tail and reads ~3x low, docs/perf.md r5)
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ def main() -> None:
     if platform != "tpu":
         print(f"refusing to record from platform={platform!r} (need tpu)")
         raise SystemExit(1)
-    total = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    total = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     pool = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     res = measure_streaming_mc(total=total, pool=pool)
     (REPO / ".streaming_mc.json").write_text(json.dumps(res, indent=1))

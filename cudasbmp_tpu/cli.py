@@ -84,6 +84,13 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--exchange-k", type=int, default=None,
                    help="sharded-tree mode: goal-nearest frontier nodes "
                    "each shard publishes per iteration")
+    p.add_argument("--need-path", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="--no-need-path runs the pathless feasibility "
+                   "planner: (solved, cost, iterations) only, no tree "
+                   "writes — ~2x faster device TTS, bitwise-equal results "
+                   "while each iteration's children fit rollouts-per-iter "
+                   "(planners/kgmt.py PathlessState)")
     p.add_argument("--config", help="YAML/JSON config file (overridden by flags "
                    "explicitly set on the command line)")
 
@@ -102,6 +109,7 @@ def _config_from_args(args: argparse.Namespace):
         goal_bias=args.goal_bias, footprint_width=args.footprint_width,
         fast_math=args.fast_math, adaptive_waves=args.adaptive_waves,
         exchange_frac=args.exchange_frac, exchange_k=args.exchange_k,
+        need_path=args.need_path,
     )
     overrides = {k: v for k, v in flag_fields.items() if v is not None}
     return dataclasses.replace(cfg, **overrides)
@@ -113,6 +121,13 @@ def _run_plan(args: argparse.Namespace, scenario) -> int:
     from cudasbmp_tpu.utils.metrics import iteration_metrics_table, summarize_result
 
     cfg = _config_from_args(args)
+    if not cfg.need_path:
+        wants = [f for f in ("shortcut", "refine", "out_dir", "plot")
+                 if getattr(args, f, None)]
+        if wants:
+            print(f"error: --no-need-path keeps no tree/path; "
+                  f"incompatible with {', '.join('--' + w.replace('_', '-') for w in wants)}")
+            return 2
     planner = KGMT(cfg)
     print(f"Goal: {scenario.goal[0]:f}, {scenario.goal[1]:f}")  # KGMT.cu:100 parity
     result = planner.plan(scenario)

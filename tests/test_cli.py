@@ -156,3 +156,19 @@ def test_cli_sharded_with_checkpointing(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert '"solved": true' in r.stdout
     assert list(tmp_path.glob("sharded_checkpoint_*.npz"))
+
+
+def test_cli_demo_pathless(capsys):
+    """--no-need-path solves without a tree and rejects path-dependent
+    flags."""
+    from cudasbmp_tpu.cli import main
+
+    rc = main(["demo", "--no-need-path", "--num-iterations", "60",
+               "--max-tree-size", "8192", "--rollouts-per-iter", "512",
+               "--no-adaptive-waves"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert '"path_length": 0' in out
+    rc = main(["demo", "--no-need-path", "--shortcut"])
+    assert rc == 2
+    assert "incompatible" in capsys.readouterr().out

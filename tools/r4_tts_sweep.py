@@ -86,6 +86,13 @@ def main() -> None:
     if jax.devices()[0].platform != "tpu":
         print("need the real TPU chip")
         raise SystemExit(1)
+    # same-run calibration (VERDICT r4 item 7): the fixed demo-8 kernel
+    # rate, so cross-round comparisons can normalize out chip load
+    from bench import measure_prop_throughput
+
+    cal = measure_prop_throughput(backend="pallas_rng", repeats=500)
+    cal_rate = round(cal["rollouts_per_sec"], 1)
+    print(f"calibration: {cal_rate:.3e} rollouts/s", flush=True)
     rows = []
     for R in (4096, 8192, 16384, 32768):
         r = measure(R)
@@ -93,7 +100,8 @@ def main() -> None:
         print(json.dumps(r), flush=True)
     best = min(rows, key=lambda r: r["tts_device_ms"])
     out = {"rows": rows, "best_R": best["R"],
-           "best_tts_device_ms": best["tts_device_ms"]}
+           "best_tts_device_ms": best["tts_device_ms"],
+           "calibration_rollouts_per_sec": cal_rate}
     (REPO / ".tts_sweep.json").write_text(json.dumps(out, indent=1))
     print(json.dumps({k: v for k, v in out.items() if k != "rows"}))
 

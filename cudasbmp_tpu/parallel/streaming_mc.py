@@ -507,7 +507,13 @@ class StreamingMonteCarloPlanner:
             shard_fn, mesh=mesh, in_specs=P(),
             out_specs=(P(axis), P(axis))))
         t0 = time.perf_counter()
-        costs, iters = jax.block_until_ready(fn(jax.random.key(seed)))
+        costs, iters = fn(jax.random.key(seed))
+        # replicate before fetching: under a MULTI-PROCESS mesh the sharded
+        # outputs are not fully addressable, and every host wants the whole
+        # result table (one small all_gather; free single-process)
+        rep = NamedSharding(mesh, P())
+        costs, iters = jax.block_until_ready(jax.jit(
+            lambda c, i: (c, i), out_shardings=(rep, rep))(costs, iters))
         wall = time.perf_counter() - t0
         costs = np.asarray(costs)
         iters = np.asarray(iters)

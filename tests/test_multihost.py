@@ -83,6 +83,23 @@ WORKER = textwrap.dedent(
     for i in range(1, 8):
         assert (sc[0] == sc[i]).all(), "shards disagree on global scores"
     print(f"proc{proc_id}: sharded-tree cost={r.cost:.3f}", flush=True)
+
+    # --- streaming Monte-Carlo across processes: one independent pool per
+    # device of the 2-process global mesh, disjoint id ranges; the union
+    # must reproduce a LOCAL single-pool sweep bit-for-bit (per-scenario
+    # RNG keying) ----------------------------------------------------------
+    from cudasbmp_tpu.parallel.streaming_mc import StreamingMonteCarloPlanner
+    scfg = KGMTConfig(rollouts_per_iter=128, num_iterations=30,
+                      rollout_backend="jnp", adaptive_waves=False,
+                      max_tree_size=2)
+    flat = make_planner_mesh()  # 8-way scenario axis over both processes
+    smc = StreamingMonteCarloPlanner(scfg, pool=2)
+    s = smc.run_sharded(num_scenarios=16, mesh=flat, seed=5, num_obstacles=5)
+    local = StreamingMonteCarloPlanner(scfg, pool=4).run(
+        num_scenarios=16, seed=5, num_obstacles=5)
+    np.testing.assert_array_equal(s.costs, local.costs)
+    np.testing.assert_array_equal(s.iters, local.iters)
+    print(f"proc{proc_id}: streaming rate={s.solve_rate:.2f}", flush=True)
     print(f"proc{proc_id}: MULTIHOST_OK", flush=True)
     """
 ) % str(REPO)

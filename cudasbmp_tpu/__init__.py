@@ -22,13 +22,14 @@ __all__ = ["KGMTConfig", "Scenario", "KGMT", "KGMTResult", "__version__"]
 
 
 def __getattr__(name):
-    # lazy heavy extras: refinement / shortcutting stages
-    if name == "refine_path":
-        from cudasbmp_tpu.refine import refine_path
+    # lazy heavy extras: refinement / shortcutting stages (single-path and
+    # whole-batch forms)
+    if name in ("refine_path", "refine_batch"):
+        import cudasbmp_tpu.refine as _m
 
-        return refine_path
-    if name == "shortcut_path":
-        from cudasbmp_tpu.shortcut import shortcut_path
+        return getattr(_m, name)
+    if name in ("shortcut_path", "shortcut_batch"):
+        import cudasbmp_tpu.shortcut as _m
 
-        return shortcut_path
+        return getattr(_m, name)
     raise AttributeError(name)

@@ -1,5 +1,10 @@
 from cudasbmp_tpu.planners.base import Planner
-from cudasbmp_tpu.planners.kgmt import KGMT, KGMTResult, KGMTState
+from cudasbmp_tpu.planners.kgmt import (
+    KGMT,
+    KGMTResult,
+    KGMTState,
+    PathlessState,
+)
 from cudasbmp_tpu.planners.naive import NaivePlanner
 from cudasbmp_tpu.planners.costprop import CostPropPlanner
 
@@ -8,6 +13,7 @@ __all__ = [
     "KGMT",
     "KGMTResult",
     "KGMTState",
+    "PathlessState",
     "NaivePlanner",
     "CostPropPlanner",
 ]

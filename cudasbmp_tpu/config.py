@@ -128,8 +128,9 @@ class KGMTConfig:
     # never written, removing the commit scatters that dominate device
     # time-to-solution (~80%, tools/r4_probe7). Results are bitwise
     # identical to the tree mode while every iteration's accepted children
-    # fit R rows (planners/kgmt.py PathlessState docs); no path extraction,
-    # no plan_recorded, no goal_bias.
+    # fit R rows (planners/kgmt.py PathlessState docs), including under
+    # goal_bias (the biased top-k restricts to the frontier in both modes);
+    # no path extraction, no plan_recorded.
     need_path: bool = True
     # Rollout implementation: 'auto' uses the fused Pallas kernel on TPU for
     # supported systems and the XLA-fused jnp path elsewhere; 'pallas'/'jnp'
@@ -162,9 +163,6 @@ class KGMTConfig:
             problems.append("goal_bias_k must be >= 1")
         if self.footprint_width < 0:
             problems.append("footprint_width must be >= 0")
-        if not self.need_path and self.goal_bias > 0:
-            problems.append("need_path=False does not support goal_bias "
-                            "(biased parent selection reads the whole tree)")
         if problems:
             raise ValueError("invalid KGMTConfig: " + "; ".join(problems))
 

@@ -891,9 +891,6 @@ def kgmt_run_pathless(cfg: KGMTConfig, system, grid: RegionGrid, goal: Array,
     equivalence test bitwise rather than statistical."""
     M = cfg.max_tree_size
     R = cfg.rollouts_per_iter
-    if cfg.goal_bias > 0.0:
-        raise ValueError("need_path=False does not support goal_bias: "
-                         "biased parent selection needs the whole tree")
 
     def outer_keep(s: PathlessState) -> Array:
         solved = (jnp.isfinite(s.cost_to_goal)
@@ -930,6 +927,24 @@ def kgmt_run_pathless(cfg: KGMTConfig, system, grid: RegionGrid, goal: Array,
             gslot = w * R + slot
             slot_active = gslot < n_tgt
             parent_idx = gslot % jnp.maximum(n_frontier, 1)
+            if cfg.goal_bias > 0.0:
+                # Goal-biased parent selection, exactly the tree driver's
+                # rule (expansion_wave): the tree mode's top-k already
+                # restricts to the frontier range, which here IS the whole
+                # buffer — so a top-k over R rows is the same selection at
+                # a fraction of the cost (R vs M candidates).
+                with jax.named_scope("kgmt_goal_bias_topk"):
+                    in_f = slot < n_frontier
+                    d2b = ((s.f_rows[:, 0] - goal[0]) ** 2
+                           + (s.f_rows[:, 1] - goal[1]) ** 2)
+                    d2b = jnp.where(in_f, d2b, jnp.inf)
+                    k = min(cfg.goal_bias_k, R)
+                    neg_best, near = jax.lax.top_k(-d2b, k)
+                    n_biased = int(round(cfg.goal_bias * R))
+                    biased = near[jnp.arange(n_biased) % k].astype(jnp.int32)
+                    ok = jnp.isfinite(-neg_best)[jnp.arange(n_biased) % k]
+                    parent_idx = parent_idx.at[:n_biased].set(
+                        jnp.where(ok, biased, parent_idx[:n_biased]))
             parent_rows = s.f_rows[parent_idx]  # one fused whole-row gather
             parent_cost = parent_rows[:, SAMPLE_DIM]
             x0 = parent_rows[:, : system.state_dim]

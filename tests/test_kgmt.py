@@ -470,6 +470,16 @@ def test_pathless_matches_tree_mode_single_wave(demo_scenario):
     assert pathless.tree_size == tree.tree_size
 
 
-def test_pathless_rejects_goal_bias():
-    with pytest.raises(ValueError, match="need_path"):
-        KGMTConfig(need_path=False, goal_bias=0.3)
+def test_pathless_goal_bias_matches_tree(demo_scenario):
+    """Goal-biased parent selection under need_path=False: the tree mode's
+    top-k already restricts to the frontier range, so the register-buffer
+    top-k is the same selection — results stay bitwise identical."""
+    cfg = KGMTConfig(num_iterations=80, max_tree_size=8192,
+                     rollouts_per_iter=512, adaptive_waves=False,
+                     goal_bias=0.3, seed=0)
+    tree = KGMT(cfg).plan(demo_scenario, seed=4)
+    pathless = KGMT(cfg.replace(need_path=False)).plan(demo_scenario, seed=4)
+    assert pathless.solved == tree.solved
+    assert pathless.cost == tree.cost
+    assert pathless.iterations == tree.iterations
+    assert pathless.tree_size == tree.tree_size

@@ -196,3 +196,54 @@ print('FINISHED_UNKILLED')
     assert resumed.tree_size == full.tree_size
     assert resumed.iterations == full.iterations
     np.testing.assert_array_equal(resumed.path, full.path)
+
+
+def test_pathless_checkpoint_roundtrip_and_resume(tmp_path):
+    """PathlessState checkpoints round-trip (type marker dispatch) and a
+    resumed pathless solve continues to the same result as uninterrupted."""
+    import jax
+    import jax.numpy as jnp
+
+    from cudasbmp_tpu.config import KGMTConfig, Scenario
+    from cudasbmp_tpu.geometry.grid import RegionGrid
+    from cudasbmp_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from cudasbmp_tpu.planners.kgmt import (
+        KGMT,
+        PathlessState,
+        init_pathless_state,
+        kgmt_run_pathless,
+    )
+    from cudasbmp_tpu.systems.registry import get_system
+
+    cfg = KGMTConfig(num_iterations=60, max_tree_size=8192,
+                     rollouts_per_iter=512, adaptive_waves=False,
+                     need_path=False, seed=0)
+    sc = Scenario.demo()
+    planner = KGMT(cfg)
+    full = planner.plan(sc, seed=6)
+    assert full.solved
+
+    # run 3 iterations by hand, checkpoint, reload, resume via the planner
+    system = get_system(cfg.system)
+    grid = RegionGrid(width=cfg.width, height=cfg.height, N=cfg.N, n=cfg.n)
+    obstacles, _ = sc.padded_obstacles(cfg.max_obstacles)
+    s0 = init_pathless_state(cfg, grid, jnp.asarray(sc.init),
+                             jax.random.key(6))
+    cfg3 = cfg.replace(num_iterations=3, keep_frontier_on_stall=True)
+    mid = kgmt_run_pathless(cfg3, system, grid, jnp.asarray(sc.goal),
+                            jnp.asarray(obstacles), s0)
+    # pad metric arrays back to the full budget for the resumed run
+    pad = cfg.num_iterations - cfg3.num_iterations
+    mid = mid._replace(
+        m_frontier_size=jnp.pad(mid.m_frontier_size, (0, pad)),
+        m_valid=jnp.pad(mid.m_valid, (0, pad)),
+        m_accepted=jnp.pad(mid.m_accepted, (0, pad)),
+        m_tree_size=jnp.pad(mid.m_tree_size, (0, pad)))
+    p = tmp_path / "pathless_ckpt.npz"
+    save_checkpoint(mid, p)
+    restored = load_checkpoint(p)
+    assert isinstance(restored, PathlessState)
+    resumed = planner.resume(restored, sc)
+    assert resumed.solved == full.solved
+    assert resumed.cost == full.cost  # bitwise: exact resume incl. RNG
+    assert resumed.iterations == full.iterations

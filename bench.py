@@ -191,7 +191,8 @@ def measure_time_to_solution(rollout_backend: str = "auto",
 
 
 def measure_device_tts(rollout_backend: str = "pallas_rng",
-                       need_path: bool = True, **cfg_overrides) -> dict:
+                       need_path: bool = True, scenario: str = "demo",
+                       **cfg_overrides) -> dict:
     """Relay-independent device-side time-to-solution (VERDICT r2 item 6):
     run K full solves SEQUENTIALLY inside one dispatch (lax.scan over seeds)
     at two K values; the slope d(wall)/dK is pure device time per solve —
@@ -220,7 +221,7 @@ def measure_device_tts(rollout_backend: str = "pallas_rng",
                      **cfg_overrides)
     system = get_system(cfg.system)
     grid = RegionGrid(width=cfg.width, height=cfg.height, N=cfg.N, n=cfg.n)
-    sc = Scenario.demo()
+    sc = Scenario.dense(24) if scenario == "dense24" else Scenario.demo()
     obstacles = jnp.asarray(sc.padded_obstacles(cfg.max_obstacles)[0])
     init, goal = jnp.asarray(sc.init), jnp.asarray(sc.goal)
 
@@ -719,6 +720,12 @@ def main() -> None:
     run_phase("tts_dense",
               lambda: measure_time_to_solution("pallas_rng",
                                                scenario="dense24"), est_s=50)
+    # harder-workload device TTS in both drivers (BENCH_EXTRA only)
+    run_phase("dev_tts_dense",
+              lambda: measure_device_tts(scenario="dense24"), est_s=70)
+    run_phase("dev_tts_dense_pathless",
+              lambda: measure_device_tts(need_path=False, scenario="dense24",
+                                         rollouts_per_iter=6144), est_s=70)
     emit()
 
 
@@ -761,6 +768,9 @@ def _write_extra(res: dict, meta: dict) -> None:
         "tts_device_s": dev_tts.get("tts_device_s") if dev_tts else None,
         "tts_device_detail": dev_tts,
         "tts_device_pathless_detail": res.get("dev_tts_pathless"),
+        "tts_device_dense24_detail": res.get("dev_tts_dense"),
+        "tts_device_dense24_pathless_detail": res.get(
+            "dev_tts_dense_pathless"),
         "monte_carlo_1024": res.get("mc") or _load_recorded(
             ".mc_bench.json", "tools/mc_bench.py (recorded, real TPU)"),
         "streaming_monte_carlo": res.get("smc") or _load_recorded(

@@ -26,15 +26,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(R: int) -> dict:
+def measure(R: int, need_path: bool = True) -> dict:
     import time
 
     from cudasbmp_tpu.config import KGMTConfig, Scenario
     from cudasbmp_tpu.geometry.grid import RegionGrid
-    from cudasbmp_tpu.planners.kgmt import kgmt_solve
+    from cudasbmp_tpu.planners.kgmt import kgmt_solve, kgmt_solve_pathless
     from cudasbmp_tpu.systems.registry import get_system
 
-    cfg = KGMTConfig(rollout_backend="pallas_rng", rollouts_per_iter=R)
+    solve = kgmt_solve if need_path else kgmt_solve_pathless
+    cfg = KGMTConfig(rollout_backend="pallas_rng", rollouts_per_iter=R,
+                     need_path=need_path)
     system = get_system(cfg.system)
     grid = RegionGrid(width=cfg.width, height=cfg.height, N=cfg.N, n=cfg.n)
     sc = Scenario.demo()
@@ -46,8 +48,8 @@ def measure(R: int) -> dict:
         def run(key0):
             def body(acc, i):
                 key = jax.random.fold_in(key0, i)
-                final = kgmt_solve(cfg, system, grid, init, goal, obstacles,
-                                   key)
+                final = solve(cfg, system, grid, init, goal, obstacles,
+                              key)
                 return acc, (final.cost_to_goal, final.itr)
 
             _, outs = jax.lax.scan(body, jnp.float32(0.0),
@@ -99,8 +101,18 @@ def main() -> None:
         rows.append(r)
         print(json.dumps(r), flush=True)
     best = min(rows, key=lambda r: r["tts_device_ms"])
+    # pathless driver sweep (r5): same discipline, register frontier
+    prows = []
+    for R in (4096, 5120, 6144, 8192):
+        r = measure(R, need_path=False)
+        r["need_path"] = False
+        prows.append(r)
+        print(json.dumps(r), flush=True)
+    pbest = min(prows, key=lambda r: r["tts_device_ms"])
     out = {"rows": rows, "best_R": best["R"],
            "best_tts_device_ms": best["tts_device_ms"],
+           "pathless_rows": prows, "pathless_best_R": pbest["R"],
+           "pathless_best_tts_device_ms": pbest["tts_device_ms"],
            "calibration_rollouts_per_sec": cal_rate}
     (REPO / ".tts_sweep.json").write_text(json.dumps(out, indent=1))
     print(json.dumps({k: v for k, v in out.items() if k != "rows"}))

@@ -624,7 +624,10 @@ def main() -> None:
             line = json.dumps(result)
         print(line, flush=True)
         _write_extra(res, meta)
-        if src == "live" and best:
+        # only a REAL-TPU live headline may become the recorded fallback —
+        # a CPU dev run must never clobber the prior chip number that the
+        # next kill-tolerant TPU run would print at startup
+        if src == "live" and best and best.get("platform") == "tpu":
             (REPO / ".bench_headline.json").write_text(json.dumps({
                 "value": round(value, 1),
                 "unit": "valid 10-step rollouts/s",

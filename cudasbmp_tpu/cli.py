@@ -311,6 +311,16 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wrote {out}")
         return 0
 
+    if args.cmd in ("multi", "sweep", "sharded") and \
+            getattr(args, "need_path", None) is False:
+        # the batch/sharded planners have their own storage designs (the
+        # streaming sweep is already tree-free); honoring the flag silently
+        # as tree mode would mislead — reject it loudly instead
+        print("error: --no-need-path applies to the single-query planner "
+              "(demo/plan); the streaming sweep (sweep --impl stream) is "
+              "already pathless by design")
+        return 2
+
     if args.cmd == "multi":
         import numpy as np
 

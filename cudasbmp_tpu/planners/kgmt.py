@@ -938,11 +938,20 @@ def kgmt_run_pathless(cfg: KGMTConfig, system, grid: RegionGrid, goal: Array,
                     d2b = ((s.f_rows[:, 0] - goal[0]) ** 2
                            + (s.f_rows[:, 1] - goal[1]) ** 2)
                     d2b = jnp.where(in_f, d2b, jnp.inf)
-                    k = min(cfg.goal_bias_k, R)
-                    neg_best, near = jax.lax.top_k(-d2b, k)
+                    k_r = min(cfg.goal_bias_k, R)
+                    neg_best, near = jax.lax.top_k(-d2b, k_r)
                     n_biased = int(round(cfg.goal_bias * R))
-                    biased = near[jnp.arange(n_biased) % k].astype(jnp.int32)
-                    ok = jnp.isfinite(-neg_best)[jnp.arange(n_biased) % k]
+                    # the CYCLING modulus must be the tree driver's k
+                    # (min(goal_bias_k, M)) for bitwise parity when
+                    # goal_bias_k > R: tree-mode entries past the frontier
+                    # are inf padding (ok=False -> round-robin fallback),
+                    # and the frontier always fits R rows here, so entries
+                    # j >= k_r are padding by construction
+                    k_m = min(cfg.goal_bias_k, M)
+                    j = jnp.arange(n_biased) % k_m
+                    biased = near[jnp.minimum(j, k_r - 1)].astype(jnp.int32)
+                    ok = (j < k_r) & jnp.isfinite(
+                        -neg_best)[jnp.minimum(j, k_r - 1)]
                     parent_idx = parent_idx.at[:n_biased].set(
                         jnp.where(ok, biased, parent_idx[:n_biased]))
             parent_rows = s.f_rows[parent_idx]  # one fused whole-row gather
@@ -1126,10 +1135,20 @@ class KGMT(Planner):
         wall = time.perf_counter() - t0
         return self._build_result(final, nodes, samples, length, wall)
 
-    def resume(self, state: KGMTState, scenario: Scenario) -> KGMTResult:
+    def resume(self, state: KGMTState | PathlessState,
+               scenario: Scenario) -> KGMTResult:
         """Continue a solve from a (possibly checkpointed) state — exact
-        resume, including RNG (io.checkpoint round-trips the full pytree)."""
+        resume, including RNG (io.checkpoint round-trips the full pytree).
+        The state type must match ``config.need_path`` (load_checkpoint
+        returns whichever type the file holds)."""
         cfg = self.config
+        expected = KGMTState if cfg.need_path else PathlessState
+        if not isinstance(state, expected):
+            raise ValueError(
+                f"checkpoint holds {type(state).__name__} but this planner "
+                f"is configured with need_path={cfg.need_path} (expects "
+                f"{expected.__name__}); construct KGMT with the matching "
+                "config to resume it")
         obstacles, _ = scenario.padded_obstacles(cfg.max_obstacles)
         t0 = time.perf_counter()
         final, nodes, samples, length = self._resume(

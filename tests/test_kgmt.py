@@ -483,3 +483,28 @@ def test_pathless_goal_bias_matches_tree(demo_scenario):
     assert pathless.cost == tree.cost
     assert pathless.iterations == tree.iterations
     assert pathless.tree_size == tree.tree_size
+
+
+def test_pathless_goal_bias_k_exceeds_r_matches_tree(demo_scenario):
+    """Bitwise parity must survive goal_bias_k > rollouts_per_iter: the
+    pathless top-k cycles with the TREE driver's modulus (min(k, M)) so
+    padding entries fall back to round-robin identically (review r5)."""
+    cfg = KGMTConfig(num_iterations=60, max_tree_size=4096,
+                     rollouts_per_iter=256, adaptive_waves=False,
+                     goal_bias=0.3, goal_bias_k=1024, seed=0)
+    tree = KGMT(cfg).plan(demo_scenario, seed=2)
+    pathless = KGMT(cfg.replace(need_path=False)).plan(demo_scenario, seed=2)
+    assert pathless.solved == tree.solved
+    assert pathless.cost == tree.cost
+    assert pathless.iterations == tree.iterations
+    assert pathless.tree_size == tree.tree_size
+
+
+def test_resume_rejects_mismatched_state_type(small_config, demo_scenario):
+    """A pathless checkpoint resumed on a tree-mode planner (or vice versa)
+    fails at the API boundary with a clear error, not inside the trace."""
+    pathless = KGMT(small_config.replace(need_path=False))
+    r = pathless.plan(demo_scenario, seed=1)
+    tree_planner = KGMT(small_config)
+    with pytest.raises(ValueError, match="need_path"):
+        tree_planner.resume(r.state, demo_scenario)

@@ -51,8 +51,8 @@ def make_runner(cfg, system, grid, obstacles, goal, W: int, knock: str):
         slot = jnp.arange(R, dtype=jnp.int32)
         slot_active = slot < jnp.minimum(cfg.fanout * s.n_frontier, R)
         parent_idx = slot % jnp.maximum(s.n_frontier, 1)
-        parent_rows = s.f_samples[parent_idx]
-        parent_cost = s.f_cost[parent_idx]
+        parent_rows = s.f_rows[parent_idx]
+        parent_cost = parent_rows[:, SAMPLE_DIM]
         x0 = parent_rows[:, : system.state_dim]
         if knock == "no_prng":
             k_ctrl = k_accept = s.key
@@ -61,7 +61,7 @@ def make_runner(cfg, system, grid, obstacles, goal, W: int, knock: str):
             k_ctrl, k_accept = jax.random.split(key_iter)
         if knock in ("no_rollout", "empty"):
             x1 = parent_rows[:, : system.state_dim] + 0.01
-            controls = parent_rows[:, system.state_dim:]
+            controls = parent_rows[:, system.state_dim:SAMPLE_DIM]
             valid = slot_active
         else:
             x1, controls, valid = _expand_rollout(cfg, system, k_ctrl, x0,
@@ -80,22 +80,20 @@ def make_runner(cfg, system, grid, obstacles, goal, W: int, knock: str):
         accept_pos = jnp.cumsum(accept_i) - accept_i
         n_acc = jnp.minimum(accept_i.sum(), M - s.tree_size)
         child_cost = parent_cost + controls[:, -1]
+        child_rows = jnp.concatenate([samples1, child_cost[:, None]],
+                                     axis=-1)
         if knock in ("no_commit", "empty"):
-            nxt_samples = samples1
-            nxt_cost = child_cost
-            n_next = jnp.minimum(jnp.maximum(n_acc, 1), R)
+            nxt_rows = child_rows
         else:
             within = accept & ((s.tree_size + accept_pos) < M)
             dst = jnp.where(within, accept_pos, R)
-            nxt_samples = s.f_samples.at[dst].set(samples1, mode="drop")
-            nxt_cost = s.f_cost.at[dst].set(child_cost, mode="drop")
-            n_next = jnp.minimum(jnp.maximum(n_acc, 1), R)
+            nxt_rows = s.f_rows.at[dst].set(child_rows, mode="drop")
+        n_next = jnp.minimum(jnp.maximum(n_acc, 1), R)
         d2g = (x1[:, 0] - goal[0]) ** 2 + (x1[:, 1] - goal[1]) ** 2
         in_goal = accept & (d2g < cfg.goal_threshold**2)
         best_cost = jnp.where(in_goal, child_cost, jnp.inf).min()
         s2 = s._replace(
-            f_samples=nxt_samples,
-            f_cost=nxt_cost,
+            f_rows=nxt_rows,
             n_frontier=n_next,
             tree_size=jnp.minimum(s.tree_size + n_acc, M - R),
             r1_total=s.r1_total + d1[:, 0],
@@ -115,7 +113,7 @@ def make_runner(cfg, system, grid, obstacles, goal, W: int, knock: str):
                                                          0, 0]), key)
         c = (s0, jnp.zeros((), jnp.int32), s0.r2_avail)
         s, _, _ = jax.lax.while_loop(lambda c: c[1] < W, body, c)
-        return s.cost_to_goal + s.f_samples.sum() + s.tree_size
+        return s.cost_to_goal + s.f_rows.sum() + s.tree_size
 
     return run
 
